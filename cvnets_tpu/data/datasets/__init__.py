@@ -1,0 +1,38 @@
+"""Dataset registry (parity: reference data/datasets/__init__.py:23)."""
+
+from __future__ import annotations
+
+import argparse
+
+from cvnets_tpu.data.datasets.dataset_base import BaseDataset
+from cvnets_tpu.utils.registry import Registry
+
+DATASET_REGISTRY = Registry(
+    registry_name="dataset",
+    base_class=BaseDataset,
+    lazy_load_dirs=["data/datasets"],
+)
+
+
+def arguments_dataset(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    parser = BaseDataset.add_arguments(parser)
+    return DATASET_REGISTRY.all_arguments(parser)
+
+
+def build_dataset_from_registry(opts, is_training: bool = True,
+                                is_evaluation: bool = False, *args, **kwargs):
+    dataset_name = getattr(opts, "dataset.name")
+    category = getattr(opts, "dataset.category")
+    return DATASET_REGISTRY[dataset_name, category](
+        opts, is_training=is_training, is_evaluation=is_evaluation, *args, **kwargs
+    )
+
+
+def get_train_val_datasets(opts):
+    train_ds = build_dataset_from_registry(opts, is_training=True)
+    val_ds = build_dataset_from_registry(opts, is_training=False)
+    return train_ds, val_ds
+
+
+def get_test_dataset(opts):
+    return build_dataset_from_registry(opts, is_training=False, is_evaluation=True)

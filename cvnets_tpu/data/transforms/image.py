@@ -1,0 +1,338 @@
+"""Host-tier image transforms (parity: reference data/transforms/image_pil.py, the
+geometry subset; photometric aug runs batched on device in ops/image_ops.py).
+
+Ops operate on a dict with "image" as a PIL Image or HWC uint8/float numpy array and
+optional "box_coordinates" (N,4 xyxy, absolute) / "mask" (HW int). Output images are
+float32 HWC in [0, 1] after ToFloatTensor.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import random
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from cvnets_tpu.data.transforms import TRANSFORMATIONS_REGISTRY
+from cvnets_tpu.data.transforms.common import BaseTransformation
+
+try:
+    from PIL import Image
+
+    _PIL_INTERP = {
+        "nearest": Image.NEAREST,
+        "bilinear": Image.BILINEAR,
+        "bicubic": Image.BICUBIC,
+    }
+except ImportError:  # pragma: no cover
+    Image = None
+    _PIL_INTERP = {}
+
+
+def _to_pil(img):
+    if Image is not None and isinstance(img, Image.Image):
+        return img
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    return Image.fromarray(arr)
+
+
+def _resize_image(img, size_hw: Tuple[int, int], interpolation: str = "bilinear"):
+    pil = _to_pil(img)
+    return pil.resize((size_hw[1], size_hw[0]), _PIL_INTERP.get(interpolation, 1))
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="random_resized_crop", type="image_pil")
+class RandomResizedCrop(BaseTransformation):
+    """Random scale/aspect crop then resize (reference image_pil.py:418)."""
+
+    def __init__(self, opts, size=None, **kwargs) -> None:
+        super().__init__(opts)
+        self.scale = tuple(getattr(opts, "image_augmentation.random_resized_crop.scale",
+                                   (0.08, 1.0)) or (0.08, 1.0))
+        ratio = getattr(opts, "image_augmentation.random_resized_crop.aspect_ratio",
+                        (3.0 / 4.0, 4.0 / 3.0)) or (3.0 / 4.0, 4.0 / 3.0)
+        self.ratio = tuple(ratio)
+        self.interpolation = getattr(
+            opts, "image_augmentation.random_resized_crop.interpolation", "bilinear"
+        )
+        self.size = size  # (h, w); set per batch by the dataset from the sampler tuple
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument("--image-augmentation.random-resized-crop.enable",
+                           action="store_true", default=False)
+        group.add_argument("--image-augmentation.random-resized-crop.interpolation",
+                           type=str, default="bilinear")
+        group.add_argument("--image-augmentation.random-resized-crop.scale",
+                           type=float, nargs="+", default=(0.08, 1.0))
+        group.add_argument("--image-augmentation.random-resized-crop.aspect-ratio",
+                           type=float, nargs="+", default=(3.0 / 4.0, 4.0 / 3.0))
+        return parser
+
+    def get_params(self, height: int, width: int) -> Tuple[int, int, int, int]:
+        area = height * width
+        log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        for _ in range(10):
+            target_area = area * random.uniform(*self.scale)
+            aspect = math.exp(random.uniform(*log_ratio))
+            w = int(round(math.sqrt(target_area * aspect)))
+            h = int(round(math.sqrt(target_area / aspect)))
+            if 0 < w <= width and 0 < h <= height:
+                i = random.randint(0, height - h)
+                j = random.randint(0, width - w)
+                return i, j, h, w
+        # fallback: center crop
+        in_ratio = width / height
+        if in_ratio < self.ratio[0]:
+            w = width
+            h = int(round(w / self.ratio[0]))
+        elif in_ratio > self.ratio[1]:
+            h = height
+            w = int(round(h * self.ratio[1]))
+        else:
+            w, h = width, height
+        i = (height - h) // 2
+        j = (width - w) // 2
+        return i, j, h, w
+
+    def __call__(self, data: Dict) -> Dict:
+        img = _to_pil(data["image"])
+        size = data.get("crop_size", self.size) or (img.height, img.width)
+        i, j, h, w = self.get_params(img.height, img.width)
+        img = img.crop((j, i, j + w, i + h)).resize(
+            (size[1], size[0]), _PIL_INTERP.get(self.interpolation, 1)
+        )
+        data["image"] = img
+        return data
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="random_horizontal_flip", type="image_pil")
+class RandomHorizontalFlip(BaseTransformation):
+    def __init__(self, opts, **kwargs) -> None:
+        super().__init__(opts)
+        self.p = getattr(opts, "image_augmentation.random_horizontal_flip.p", 0.5)
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument("--image-augmentation.random-horizontal-flip.enable",
+                           action="store_true", default=False)
+        group.add_argument("--image-augmentation.random-horizontal-flip.p",
+                           type=float, default=0.5)
+        return parser
+
+    def __call__(self, data: Dict) -> Dict:
+        if random.random() < self.p:
+            img = _to_pil(data["image"])
+            data["image"] = img.transpose(Image.FLIP_LEFT_RIGHT)
+            if "box_coordinates" in data:
+                boxes = np.array(data["box_coordinates"], dtype=np.float32)
+                w = img.width
+                boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+                data["box_coordinates"] = boxes
+            if "mask" in data and data["mask"] is not None:
+                data["mask"] = np.ascontiguousarray(np.asarray(data["mask"])[:, ::-1])
+        return data
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="resize", type="image_pil")
+class Resize(BaseTransformation):
+    """Resize shorter side (int size) or to exact (h, w) (reference image_pil.py:861)."""
+
+    def __init__(self, opts, img_size=None, **kwargs) -> None:
+        super().__init__(opts)
+        self.size = img_size if img_size is not None else getattr(
+            opts, "image_augmentation.resize.size", 256
+        )
+        self.interpolation = getattr(
+            opts, "image_augmentation.resize.interpolation", "bilinear"
+        )
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument("--image-augmentation.resize.enable", action="store_true",
+                           default=False)
+        group.add_argument("--image-augmentation.resize.size", type=int, nargs="+",
+                           default=256)
+        group.add_argument("--image-augmentation.resize.interpolation", type=str,
+                           default="bilinear")
+        return parser
+
+    def __call__(self, data: Dict) -> Dict:
+        img = _to_pil(data["image"])
+        size = self.size
+        if isinstance(size, (list, tuple)) and len(size) == 1:
+            size = size[0]
+        if isinstance(size, int):
+            short, long = min(img.size), max(img.size)
+            scale = size / short
+            if img.width <= img.height:
+                new_w, new_h = size, int(round(img.height * scale))
+            else:
+                new_w, new_h = int(round(img.width * scale)), size
+        else:
+            new_h, new_w = size
+        old_w, old_h = img.width, img.height
+        data["image"] = img.resize((new_w, new_h),
+                                   _PIL_INTERP.get(self.interpolation, 1))
+        if "box_coordinates" in data:
+            boxes = np.array(data["box_coordinates"], dtype=np.float32)
+            boxes[:, [0, 2]] *= new_w / old_w
+            boxes[:, [1, 3]] *= new_h / old_h
+            data["box_coordinates"] = boxes
+        if "mask" in data and data["mask"] is not None:
+            m = _to_pil(np.asarray(data["mask"]).astype(np.uint8))
+            data["mask"] = np.asarray(m.resize((new_w, new_h), Image.NEAREST))
+        return data
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="center_crop", type="image_pil")
+class CenterCrop(BaseTransformation):
+    def __init__(self, opts, size=None, **kwargs) -> None:
+        super().__init__(opts)
+        self.size = size if size is not None else getattr(
+            opts, "image_augmentation.center_crop.size", 224
+        )
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument("--image-augmentation.center-crop.enable",
+                           action="store_true", default=False)
+        group.add_argument("--image-augmentation.center-crop.size", type=int,
+                           nargs="+", default=224)
+        return parser
+
+    def __call__(self, data: Dict) -> Dict:
+        img = _to_pil(data["image"])
+        size = self.size
+        if isinstance(size, (list, tuple)):
+            size = size[0]
+        i = max(0, (img.height - size) // 2)
+        j = max(0, (img.width - size) // 2)
+        data["image"] = img.crop((j, i, j + size, i + size))
+        if "mask" in data and data["mask"] is not None:
+            data["mask"] = np.asarray(data["mask"])[i: i + size, j: j + size]
+        return data
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="random_short_size_resize", type="image_pil")
+class RandomShortSizeResize(BaseTransformation):
+    """Resize shorter side to a random value in [min, max] (reference :1578)."""
+
+    def __init__(self, opts, **kwargs) -> None:
+        super().__init__(opts)
+        self.min_short = getattr(
+            opts, "image_augmentation.random_short_size_resize.short_side_min", 256)
+        self.max_short = getattr(
+            opts, "image_augmentation.random_short_size_resize.short_side_max", 320)
+        self.max_long = getattr(
+            opts, "image_augmentation.random_short_size_resize.max_img_dim", 1024)
+        self.interpolation = getattr(
+            opts, "image_augmentation.random_short_size_resize.interpolation",
+            "bilinear")
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument(
+            "--image-augmentation.random-short-size-resize.enable",
+            action="store_true", default=False)
+        group.add_argument(
+            "--image-augmentation.random-short-size-resize.short-side-min",
+            type=int, default=256)
+        group.add_argument(
+            "--image-augmentation.random-short-size-resize.short-side-max",
+            type=int, default=320)
+        group.add_argument(
+            "--image-augmentation.random-short-size-resize.max-img-dim",
+            type=int, default=1024)
+        group.add_argument(
+            "--image-augmentation.random-short-size-resize.interpolation",
+            type=str, default="bilinear")
+        return parser
+
+    def __call__(self, data: Dict) -> Dict:
+        img = _to_pil(data["image"])
+        short_side = random.randint(self.min_short, self.max_short)
+        scale = min(short_side / min(img.size), self.max_long / max(img.size))
+        new_w, new_h = int(img.width * scale), int(img.height * scale)
+        data["image"] = img.resize((new_w, new_h),
+                                   _PIL_INTERP.get(self.interpolation, 1))
+        if "mask" in data and data["mask"] is not None:
+            m = _to_pil(np.asarray(data["mask"]).astype(np.uint8))
+            data["mask"] = np.asarray(m.resize((new_w, new_h), Image.NEAREST))
+        return data
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="random_crop", type="image_pil")
+class RandomCrop(BaseTransformation):
+    """Random fixed-size crop with padding/label-aware resize for segmentation
+    (reference image_pil.py RandomCrop)."""
+
+    def __init__(self, opts, size=None, ignore_idx: int = 255, **kwargs) -> None:
+        super().__init__(opts)
+        self.size = size
+        self.ignore_idx = ignore_idx
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument("--image-augmentation.random-crop.enable",
+                           action="store_true", default=False)
+        group.add_argument("--image-augmentation.random-crop.seg-class-max-ratio",
+                           type=float, default=None)
+        group.add_argument("--image-augmentation.random-crop.pad-if-needed",
+                           action="store_true", default=False)
+        group.add_argument("--image-augmentation.random-crop.mask-fill",
+                           type=int, default=255)
+        return parser
+
+    def __call__(self, data: Dict) -> Dict:
+        img = _to_pil(data["image"])
+        size = data.get("crop_size", self.size)
+        if size is None:
+            return data
+        ch, cw = size if isinstance(size, (tuple, list)) else (size, size)
+        # pad if needed
+        pad_h, pad_w = max(0, ch - img.height), max(0, cw - img.width)
+        arr = np.asarray(img)
+        if pad_h or pad_w:
+            arr = np.pad(arr, ((0, pad_h), (0, pad_w), (0, 0)))
+            if "mask" in data and data["mask"] is not None:
+                data["mask"] = np.pad(np.asarray(data["mask"]),
+                                      ((0, pad_h), (0, pad_w)),
+                                      constant_values=self.ignore_idx)
+        h, w = arr.shape[:2]
+        i = random.randint(0, h - ch)
+        j = random.randint(0, w - cw)
+        data["image"] = Image.fromarray(arr[i: i + ch, j: j + cw])
+        if "mask" in data and data["mask"] is not None:
+            data["mask"] = np.asarray(data["mask"])[i: i + ch, j: j + cw]
+        return data
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="to_tensor", type="image_pil")
+class ToFloatTensor(BaseTransformation):
+    """PIL/uint8 -> float32 HWC in [0,1] numpy (device transfer happens later;
+    normalization/mixup are device-tier ops)."""
+
+    def __init__(self, opts, **kwargs) -> None:
+        super().__init__(opts)
+
+    def __call__(self, data: Dict) -> Dict:
+        arr = np.asarray(data["image"])
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[:, :, None].repeat(3, axis=2)
+        data["image"] = arr.astype(np.float32)
+        if "mask" in data and data["mask"] is not None:
+            data["mask"] = np.asarray(data["mask"]).astype(np.int32)
+        return data

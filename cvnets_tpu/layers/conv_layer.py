@@ -1,0 +1,166 @@
+"""Conv + Norm + Act composite layers (parity: reference cvnets/layers/conv_layer.py).
+
+NHWC layout; padding follows the reference convention ``(kernel // 2) * dilation`` on
+each side, which equals SAME for odd kernels and stride-1, and matches torch's
+behavior for stride-2 downsampling.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cvnets_tpu.layers.activation import build_act_layer
+from cvnets_tpu.layers.init_utils import conv_init
+from cvnets_tpu.layers.normalization import get_normalization_layer
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v)
+
+
+class ConvLayer2d(nn.Module):
+    """2D convolution optionally followed by normalization and activation.
+
+    Parity: reference cvnets/layers/conv_layer.py (ConvLayer2d) — a fused
+    Conv→Norm→Act block with automatic padding. ``groups=in_channels`` gives a
+    depthwise conv, which XLA lowers to a TPU-friendly feature-group convolution.
+    """
+
+    opts: Any
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    bias: bool = False
+    use_norm: bool = True
+    use_act: bool = True
+    act_name: Optional[str] = None
+    norm_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        k = _pair(self.kernel_size)
+        d = _pair(self.dilation)
+        pad = tuple((kk // 2 * dd, kk // 2 * dd) for kk, dd in zip(k, d))
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=k,
+            strides=_pair(self.stride),
+            padding=pad,
+            kernel_dilation=d,
+            feature_group_count=self.groups,
+            use_bias=self.bias,
+            kernel_init=conv_init(self.opts),
+            name="conv",
+        )(x)
+        if self.use_norm:
+            norm = get_normalization_layer(self.opts, norm_type=self.norm_name)
+            if norm is not None:
+                if isinstance(norm, nn.BatchNorm):
+                    x = norm.copy(name="norm")(x, use_running_average=not training)
+                else:
+                    x = norm.copy(name="norm")(x)
+        if self.use_act:
+            act = build_act_layer(self.opts, act_name=self.act_name)
+            x = act(x)
+        return x
+
+
+class NormActLayer(nn.Module):
+    """Norm → Act (no conv); parity: reference conv_layer.py NormActLayer."""
+
+    opts: Any
+    norm_name: Optional[str] = None
+    act_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        norm = get_normalization_layer(self.opts, norm_type=self.norm_name)
+        if norm is not None:
+            if isinstance(norm, nn.BatchNorm):
+                x = norm.copy(name="norm")(x, use_running_average=not training)
+            else:
+                x = norm.copy(name="norm")(x)
+        return build_act_layer(self.opts, act_name=self.act_name)(x)
+
+
+class SeparableConv2d(nn.Module):
+    """Depthwise k×k + pointwise 1×1 (parity: reference SeparableConv2d)."""
+
+    opts: Any
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    use_norm: bool = True
+    use_act: bool = True
+    bias: bool = False
+    act_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        x = ConvLayer2d(
+            opts=self.opts,
+            out_channels=self.in_channels,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            groups=self.in_channels,
+            bias=False,
+            use_norm=True,
+            use_act=False,
+            name="dw_conv",
+        )(x, training=training)
+        x = ConvLayer2d(
+            opts=self.opts,
+            out_channels=self.out_channels,
+            kernel_size=1,
+            bias=self.bias,
+            use_norm=self.use_norm,
+            use_act=self.use_act,
+            act_name=self.act_name,
+            name="pw_conv",
+        )(x, training=training)
+        return x
+
+
+class TransposeConvLayer2d(nn.Module):
+    """Transposed conv (+norm+act); parity: reference TransposeConvLayer2d."""
+
+    opts: Any
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]] = 2
+    stride: Union[int, Tuple[int, int]] = 2
+    bias: bool = False
+    use_norm: bool = True
+    use_act: bool = True
+    act_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        x = nn.ConvTranspose(
+            features=self.out_channels,
+            kernel_size=_pair(self.kernel_size),
+            strides=_pair(self.stride),
+            padding="SAME",
+            use_bias=self.bias,
+            kernel_init=conv_init(self.opts),
+            name="conv",
+        )(x)
+        if self.use_norm:
+            norm = get_normalization_layer(self.opts)
+            if norm is not None:
+                if isinstance(norm, nn.BatchNorm):
+                    x = norm.copy(name="norm")(x, use_running_average=not training)
+                else:
+                    x = norm.copy(name="norm")(x)
+        if self.use_act:
+            x = build_act_layer(self.opts, act_name=self.act_name)(x)
+        return x

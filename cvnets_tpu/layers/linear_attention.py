@@ -1,0 +1,64 @@
+"""MobileViTv2 separable (linear-complexity) self-attention.
+
+Parity: reference cvnets/layers/linear_attention.py:16-207 (LinearSelfAttention):
+qkv produced by a 1×1 conv and split into (1, d, d); softmax over the token axis on
+the 1-dim query scores; context = sum(key * scores); out = relu(value) * context,
+then a 1×1 output conv. O(N·d) instead of O(N²·d).
+
+Layout note: the reference operates on (B, C, P, N) unfolded patches. We operate on
+(B, P, N, C) — channels last — so the 1×1 convs are Dense layers over the trailing
+axis, which XLA maps straight onto the MXU. A fused Pallas kernel for the full
+unfold→attention→fold pipeline lives in cvnets_tpu/ops/pallas/mobilevit_attn.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cvnets_tpu.layers.init_utils import conv_init
+
+
+class LinearSelfAttention(nn.Module):
+    opts: Any
+    embed_dim: int
+    attn_dropout: float = 0.0
+    bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        x_prev: Optional[jnp.ndarray] = None,
+        training: bool = False,
+    ) -> jnp.ndarray:
+        """x: (B, P, N, C) patches-last-channels tensor. x_prev enables cross-attention
+        (reference _forward_cross_attn, linear_attention.py:163-207)."""
+        d = self.embed_dim
+        init = conv_init(self.opts)
+
+        if x_prev is None:
+            qkv = nn.Dense(1 + 2 * d, use_bias=self.bias, kernel_init=init,
+                           name="qkv_proj")(x)
+            query, key, value = jnp.split(qkv, [1, 1 + d], axis=-1)
+        else:
+            # cross-attn: q+k from x_prev-conditioned weights applied to x, value from x
+            # reference slices the qkv conv weights; equivalent: separate projections
+            qk = nn.Dense(1 + d, use_bias=self.bias, kernel_init=init,
+                          name="qk_proj")(x_prev)
+            query, key = jnp.split(qk, [1], axis=-1)
+            value = nn.Dense(d, use_bias=self.bias, kernel_init=init,
+                             name="v_proj")(x)
+
+        # softmax over token axis N (axis=-2 in B,P,N,C layout)
+        scores = nn.softmax(query.astype(jnp.float32), axis=-2).astype(x.dtype)
+        if self.attn_dropout > 0:
+            scores = nn.Dropout(rate=self.attn_dropout,
+                                deterministic=not training)(scores)
+        # context vector: weighted sum of keys over tokens -> (B, P, 1, C)
+        context = jnp.sum(key * scores, axis=-2, keepdims=True)
+        out = nn.relu(value) * context
+        out = nn.Dense(d, use_bias=self.bias, kernel_init=init, name="out_proj")(out)
+        return out

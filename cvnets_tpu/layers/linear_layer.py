@@ -1,0 +1,55 @@
+"""Linear layers (parity: reference cvnets/layers/linear_layer.py)."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cvnets_tpu.layers.init_utils import linear_init
+
+
+class LinearLayer(nn.Module):
+    """Dense layer; weights stored as (in, out) which is MXU-friendly."""
+
+    opts: Any
+    out_features: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            features=self.out_features,
+            use_bias=self.bias,
+            kernel_init=linear_init(self.opts),
+            name="linear",
+        )(x)
+
+
+class GroupLinear(nn.Module):
+    """Grouped linear: input split into ``n_groups`` along features, each group has its
+    own (in/g, out/g) weight (parity: reference GroupLinear, used by LocationPreserving
+    ViT variants). Implemented as a batched einsum so all groups hit the MXU together.
+    """
+
+    opts: Any
+    in_features: int
+    out_features: int
+    n_groups: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = self.n_groups
+        assert self.in_features % g == 0 and self.out_features % g == 0
+        in_g = self.in_features // g
+        out_g = self.out_features // g
+        w = self.param("weight", linear_init(self.opts), (g, in_g, out_g))
+        leading = x.shape[:-1]
+        xg = x.reshape(*leading, g, in_g)
+        y = jnp.einsum("...gi,gio->...go", xg, w)
+        if self.bias:
+            b = self.param("bias", nn.initializers.zeros, (g, out_g))
+            y = y + b
+        return y.reshape(*leading, self.out_features)

@@ -1,0 +1,68 @@
+"""Multi-head attention (parity: reference cvnets/layers/multi_head_attention.py:309).
+
+The reference carries three forward paths (tracing/default/pytorch-fused); on TPU a
+single fused einsum formulation is optimal — XLA maps the batched matmuls onto the MXU
+and fuses the softmax. Single-head attention (reference single_head_attention.py) is
+the num_heads=1 case.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cvnets_tpu.layers.init_utils import linear_init
+
+
+class MultiHeadAttention(nn.Module):
+    opts: Any
+    embed_dim: int
+    num_heads: int
+    attn_dropout: float = 0.0
+    bias: bool = True
+    coreml_compatible: bool = False  # config-compat; single path on TPU
+
+    @nn.compact
+    def __call__(
+        self,
+        x_q: jnp.ndarray,
+        x_kv: Optional[jnp.ndarray] = None,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        training: bool = False,
+    ) -> jnp.ndarray:
+        if x_kv is None:
+            x_kv = x_q
+        d = self.embed_dim
+        h = self.num_heads
+        hd = d // h
+        assert hd * h == d, "embed_dim must be divisible by num_heads"
+
+        qkv_init = linear_init(self.opts)
+        q = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, name="q_proj")(x_q)
+        k = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, name="k_proj")(x_kv)
+        v = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, name="v_proj")(x_kv)
+
+        b, nq, _ = q.shape
+        nk = k.shape[1]
+        q = q.reshape(b, nq, h, hd)
+        k = k.reshape(b, nk, h, hd)
+        v = v.reshape(b, nk, h, hd)
+
+        scale = hd**-0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        if attn_mask is not None:
+            logits = logits + attn_mask
+        if key_padding_mask is not None:
+            neg = jnp.finfo(logits.dtype).min
+            logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+        attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+        if self.attn_dropout > 0:
+            attn = nn.Dropout(rate=self.attn_dropout, deterministic=not training)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, nq, d)
+        return nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, name="out_proj")(out)
+
+
+SingleHeadAttention = MultiHeadAttention  # num_heads=1

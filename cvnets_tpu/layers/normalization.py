@@ -1,0 +1,144 @@
+"""Normalization layer factory (parity: reference cvnets/layers/normalization/*).
+
+TPU notes:
+* BatchNorm momentum convention differs: torch's ``momentum=0.1`` (fraction of the new
+  batch statistic) equals flax's ``momentum=0.9`` (fraction of the running average).
+  Configs carry the torch convention; we convert here.
+* SyncBatchNorm = BatchNorm with ``axis_name="data"`` — flax computes cross-replica
+  mean/var with a psum over the mesh axis, replacing the reference's
+  torch SyncBatchNorm/NCCL path (reference cvnets/layers/normalization/sync_batch_norm.py).
+* LayerNorm2D (channels of an NCHW tensor) is plain LayerNorm over the trailing axis
+  in our NHWC layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cvnets_tpu.utils import logger
+
+SUPPORTED_NORM_FNS = [
+    "batch_norm", "batch_norm_2d", "batch_norm_1d", "batch_norm_3d",
+    "sync_batch_norm", "sync_batch_norm_fp32",
+    "layer_norm", "layer_norm_2d", "layer_norm_fp32",
+    "group_norm", "instance_norm", "instance_norm_2d", "identity",
+]
+
+# mesh axis over which sync-BN statistics are reduced
+SYNC_BN_AXIS_NAME = "data"
+
+
+def get_normalization_layer(
+    opts,
+    num_features: Optional[int] = None,
+    norm_type: Optional[str] = None,
+    num_groups: Optional[int] = None,
+):
+    """Build a linen normalization module from opts.
+
+    Parity: reference cvnets/layers/normalization_layers.py:109. ``num_features`` is
+    accepted for API parity; linen infers feature counts from inputs.
+    """
+    if norm_type is None:
+        norm_type = getattr(opts, "model.normalization.name", "batch_norm")
+    torch_momentum = getattr(opts, "model.normalization.momentum", 0.1)
+    if torch_momentum is None:
+        torch_momentum = 0.1
+    flax_momentum = 1.0 - torch_momentum
+    norm_type = (norm_type or "batch_norm").lower()
+
+    if norm_type in ("batch_norm", "batch_norm_2d", "batch_norm_1d", "batch_norm_3d"):
+        return nn.BatchNorm(momentum=flax_momentum, epsilon=1e-5, use_running_average=None)
+    if norm_type == "sync_batch_norm":
+        return nn.BatchNorm(
+            momentum=flax_momentum, epsilon=1e-5, use_running_average=None,
+            axis_name=SYNC_BN_AXIS_NAME,
+        )
+    if norm_type == "sync_batch_norm_fp32":
+        return nn.BatchNorm(
+            momentum=flax_momentum, epsilon=1e-5, use_running_average=None,
+            axis_name=SYNC_BN_AXIS_NAME, dtype=jnp.float32,
+        )
+    if norm_type in ("layer_norm", "layer_norm_2d"):
+        # layer_norm_2d normalizes NCHW channels; identical to trailing-axis LN in NHWC
+        return nn.LayerNorm(epsilon=1e-5)
+    if norm_type == "layer_norm_fp32":
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    if norm_type == "group_norm":
+        n_groups = num_groups if num_groups is not None else getattr(
+            opts, "model.normalization.groups", 32
+        )
+        return nn.GroupNorm(num_groups=int(n_groups), epsilon=1e-5)
+    if norm_type in ("instance_norm", "instance_norm_2d"):
+        # instance norm == group norm with one channel per group
+        return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5)
+    if norm_type == "identity":
+        return None
+    logger.error(
+        f"Unsupported norm layer `{norm_type}`. Supported: {SUPPORTED_NORM_FNS}"
+    )
+
+
+class AdjustBatchNormMomentum:
+    """Anneal the (torch-convention) BN momentum over training.
+
+    Parity: reference cvnets/layers/normalization_layers.py (AdjustBatchNormMomentum);
+    cosine or linear annealing from ``momentum`` to ``final_momentum_value`` over
+    warmup-excluded epochs. In cvnets_tpu the returned value feeds the train step as a
+    scalar (flax momentum = 1 - value).
+    """
+
+    round_places = 6
+
+    def __init__(self, opts) -> None:
+        import math
+
+        self.is_iteration_based = getattr(opts, "scheduler.is_iteration_based", True)
+        self.warmup_iterations = getattr(opts, "scheduler.warmup_iterations", 0) or 0
+        if self.is_iteration_based:
+            self.max_steps = getattr(opts, "scheduler.max_iterations", 10000) or 10000
+            self.max_steps -= self.warmup_iterations
+        else:
+            self.max_steps = getattr(opts, "scheduler.max_epochs", 100) or 100
+        self.momentum = getattr(opts, "model.normalization.momentum", 0.1) or 0.1
+        self.min_momentum = getattr(
+            opts, "model.normalization.adjust_bn_momentum.final_momentum_value", 1e-6
+        )
+        self.anneal_type = getattr(
+            opts, "model.normalization.adjust_bn_momentum.anneal_type", "cosine"
+        )
+        self._math = math
+        if self.anneal_type not in ("cosine", "linear"):
+            logger.error(f"Unsupported BN momentum anneal type {self.anneal_type}")
+
+    def get_momentum(self, epoch: int, iteration: int) -> float:
+        step = iteration - self.warmup_iterations if self.is_iteration_based else epoch
+        step = max(0, min(step, self.max_steps))
+        if self.anneal_type == "cosine":
+            m = self.min_momentum + 0.5 * (self.momentum - self.min_momentum) * (
+                1 + self._math.cos(self._math.pi * step / self.max_steps)
+            )
+        else:
+            m = self.momentum - (self.momentum - self.min_momentum) * step / self.max_steps
+        return round(max(0.0, m), self.round_places)
+
+
+def arguments_norm_layers(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    group = parser.add_argument_group(title="Normalization layer arguments")
+    group.add_argument("--model.normalization.name", type=str, default="batch_norm")
+    group.add_argument("--model.normalization.groups", type=int, default=1)
+    group.add_argument(
+        "--model.normalization.momentum", type=float, default=0.1,
+        help="BN momentum in the torch convention (fraction of new batch statistic)",
+    )
+    group.add_argument("--model.normalization.adjust-bn-momentum.enable",
+                       action="store_true")
+    group.add_argument("--model.normalization.adjust-bn-momentum.anneal-type",
+                       type=str, default="cosine")
+    group.add_argument("--model.normalization.adjust-bn-momentum.final-momentum-value",
+                       type=float, default=1e-6)
+    return parser

@@ -1,0 +1,164 @@
+"""Dependency-injection registry: the backbone of cvnets_tpu's config system.
+
+Contract parity with the reference registry (reference: utils/registry.py:26-219):
+
+* ``Registry(name, base_class=..., lazy_load_dirs=[...])`` — lazy directory imports so
+  decorators run without circular imports.
+* two-part keys: ``register(name, type)`` stores under ``"type:name"`` and
+  ``registry[(name, type)]`` looks it up.
+* functional argument injection: ``registry["top1(pred=logits)"]`` returns a partial.
+* ``all_arguments(parser)`` walks every registered item's ``add_arguments``.
+* duplicate registration and base-class violations are hard errors.
+* ``__base__`` is a conventional name used to register abstract bases purely for
+  argument harvesting (see models/__init__).
+
+The implementation is original and geared to this repo's layout (packages under
+``cvnets_tpu/``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+from cvnets_tpu.utils import logger
+from cvnets_tpu.utils.import_utils import import_modules_from_folder
+
+_KEY_WITH_ARGS = re.compile(r"^(?P<name>[^()]+)(\((?P<args>.*)\))?$")
+
+# `type` is shadowed by the register() kwarg name (kept for reference-contract parity)
+builtins_type = type
+
+
+class Registry:
+    def __init__(
+        self,
+        registry_name: str,
+        base_class: Optional[type] = None,
+        separator: str = ":",
+        lazy_load_dirs: Optional[List[str]] = None,
+        internal_dirs: Sequence[str] = (),
+    ) -> None:
+        self.registry_name = registry_name
+        self.base_class = base_class
+        self.separator = separator
+        self._items: Dict[str, Callable] = {}
+        self._lazy_load_dirs = list(lazy_load_dirs or [])
+        self._internal_dirs = tuple(internal_dirs)
+        self._loaded = False
+        self._arguments_accessed = False
+
+    # -- lazy loading ---------------------------------------------------------
+    def _ensure_loaded(self) -> None:
+        if self._loaded:
+            return
+        self._loaded = True
+        for dir_name in self._lazy_load_dirs:
+            import_modules_from_folder(dir_name, extra_roots=self._internal_dirs)
+
+    # -- registration ---------------------------------------------------------
+    def register(self, name: str, type: str = "") -> Callable:
+        full_name = f"{type}{self.separator}{name}" if type else name
+
+        if self._arguments_accessed:
+            logger.error(
+                f"Item `{full_name}` registered after arguments were harvested from"
+                f" `{self.registry_name}` registry; it would be invisible to the CLI."
+            )
+
+        def _decorator(item: Callable) -> Callable:
+            if full_name in self._items:
+                raise ValueError(
+                    f"Cannot register duplicate {self.registry_name} ({full_name})"
+                )
+            if self.base_class is not None and isinstance(item, builtins_type) and not issubclass(item, self.base_class):
+                raise ValueError(
+                    f"{self.registry_name} class ({full_name}: {item.__name__}) must"
+                    f" extend {self.base_class.__name__}"
+                )
+            self._items[full_name] = item
+            return item
+
+        return _decorator
+
+    # -- lookup ---------------------------------------------------------------
+    @staticmethod
+    def parse_key(key: str) -> Tuple[str, Dict[str, str]]:
+        """Split ``"name(a=1, b=2)"`` into ("name", {"a": "1", "b": "2"})."""
+        m = _KEY_WITH_ARGS.match(key.strip())
+        if m is None:
+            logger.error(f"Could not parse registry key `{key}`.")
+        name = m.group("name").strip()
+        args_str = m.group("args")
+        params: Dict[str, str] = {}
+        if args_str:
+            for piece in args_str.split(","):
+                if not piece.strip():
+                    continue
+                if "=" not in piece:
+                    logger.error(
+                        f"Malformed key parameters in `{key}`; expected"
+                        " name(arg1=value1, arg2=value2, ...)."
+                    )
+                k, v = piece.split("=", 1)
+                params[k.strip()] = v.strip()
+        return name, params
+
+    def __getitem__(self, key: Union[Tuple[str, str], str]) -> Callable:
+        self._ensure_loaded()
+        type_ = None
+        if isinstance(key, tuple) and len(key) == 2:
+            key, type_ = key
+        if not isinstance(key, str):
+            logger.error(f"Registry key should be a string; got {builtins_type(key)}")
+        name, params = self.parse_key(key)
+        if type_:
+            name = f"{type_}{self.separator}{name}"
+        if name not in self._items:
+            supported = "\n\t".join(sorted(self._items))
+            logger.error(
+                f"`{name}` not supported in {self.registry_name} registry. Supported:"
+                f"\n\t{supported}"
+            )
+        item = self._items[name]
+        if params:
+            item = partial(item, **params)
+        return item
+
+    def __contains__(self, key: str) -> bool:
+        self._ensure_loaded()
+        type_ = None
+        if isinstance(key, tuple) and len(key) == 2:
+            key, type_ = key
+        name, _ = self.parse_key(key)
+        if type_:
+            name = f"{type_}{self.separator}{name}"
+        return name in self._items
+
+    def items(self) -> Iterable[Tuple[str, Callable]]:
+        self._ensure_loaded()
+        return self._items.items()
+
+    def keys(self) -> Iterable[str]:
+        self._ensure_loaded()
+        return self._items.keys()
+
+    def __iter__(self):
+        self._ensure_loaded()
+        return iter(self._items)
+
+    def __len__(self) -> int:
+        self._ensure_loaded()
+        return len(self._items)
+
+    # -- argparse aggregation -------------------------------------------------
+    def all_arguments(self, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        self._ensure_loaded()
+        self._arguments_accessed = True
+        for _name, item in self.items():
+            add_args = getattr(item, "add_arguments", None)
+            if add_args is not None:
+                parser = add_args(parser)
+        return parser
