@@ -1,0 +1,117 @@
+"""Throughput benchmark for the driver: MobileViTv2-1.0 ImageNet-style train step.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured throughput / roofline throughput, where roofline =
+chip peak bf16 FLOPs ÷ per-image train FLOPs (XLA cost analysis). The BASELINE.json
+north star is ≥0.9 of roofline for this model on v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 128
+IMG = 256
+WARMUP = 3
+ITERS = 10
+
+# per-chip peak dense bf16 FLOPs/sec
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+    "cpu": 1e11,
+}
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _flagship_opts
+    from cvnets_tpu.engine.train_state import create_train_state, make_train_step
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.metrics.stats import Statistics
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.optim import build_optimizer
+    from cvnets_tpu.parallel import create_mesh, replicated_sharding, shard_batch
+
+    opts = _flagship_opts()
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    tx = build_optimizer(opts)
+    rng = jax.random.PRNGKey(0)
+    dummy = {
+        "samples": np.zeros((2, IMG, IMG, 3), np.float32),
+        "targets": np.zeros((2,), np.int32),
+    }
+    state = create_train_state(model, tx, rng, dummy, ema_enabled=True)
+    mesh = create_mesh(opts)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    n_chips = len(mesh.devices.flatten())
+
+    metrics = Statistics(opts, ["loss"]).metrics
+    step = jax.jit(
+        make_train_step(model, criteria, tx, opts, metrics), donate_argnums=(0,)
+    )
+
+    batch_np = {
+        "samples": np.random.default_rng(0)
+        .standard_normal((BATCH * n_chips, IMG, IMG, 3)).astype(np.float32),
+        "targets": (np.arange(BATCH * n_chips) % 1000).astype(np.int32),
+    }
+    batch = shard_batch(mesh, batch_np)
+
+    # cost analysis for roofline
+    flops_per_step = None
+    try:
+        lowered = step.lower(state, batch, 2e-3, rng)
+        cost = lowered.compile().cost_analysis()
+        if cost and "flops" in cost:
+            flops_per_step = float(cost["flops"])
+    except Exception:
+        pass
+
+    for _ in range(WARMUP):
+        state, m = step(state, batch, 2e-3, rng)
+    jax.block_until_ready(m)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, m = step(state, batch, 2e-3, rng)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * n_chips * ITERS / dt
+    imgs_per_sec_chip = imgs_per_sec / n_chips
+
+    dev_kind = jax.devices()[0].device_kind
+    peak = None
+    for key, val in PEAK_FLOPS.items():
+        if key.lower() in dev_kind.lower() or dev_kind.lower() in key.lower():
+            peak = val
+            break
+    if peak is None:
+        peak = 197e12 if jax.default_backend() == "tpu" else 1e11
+
+    vs_baseline = 0.0
+    if flops_per_step:
+        flops_per_image = flops_per_step / (BATCH * n_chips)
+        roofline_imgs = peak / flops_per_image
+        vs_baseline = imgs_per_sec_chip / roofline_imgs
+
+    print(json.dumps({
+        "metric": "mobilevit_v2_1.0_train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,29 @@ class BaseSampler:
         self.n_samples_per_replica = -(-n_total // self.num_replicas)
         self.total_size = self.n_samples_per_replica * self.num_replicas
 
+        # TPU delta: configs give the per-device batch size ("128 images per GPU × 8
+        # GPUs"); under GSPMD one process feeds the whole local mesh, so samplers
+        # scale batch sizes by the local device count to keep the global batch
+        # divisible across the data axis.
+        try:
+            import jax
+
+            self.n_device_mult = max(1, jax.local_device_count())
+        except Exception:
+            self.n_device_mult = 1
+
+    def effective_batch_size(self, bsz: int) -> int:
+        return max(1, int(bsz)) * self.n_device_mult
+
+    @staticmethod
+    def _pad_cyclic(batch: list, indices: list, bsz: int) -> list:
+        """Pad a trailing batch to exactly ``bsz`` by cycling indices (static shapes
+        for XLA; reference drops or pads per-rank)."""
+        if len(batch) >= bsz:
+            return batch[:bsz]
+        reps = -(-(bsz - len(batch)) // max(1, len(indices)))
+        return (batch + indices * reps)[:bsz]
+
     @classmethod
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         return parser

@@ -37,20 +37,19 @@ class BatchSampler(BaseSampler):
 
     def __iter__(self) -> Iterator[List[Tuple[int, int, int]]]:
         indices = self.get_indices_rank_i()
-        for start in range(0, len(indices), self.batch_size):
-            batch = indices[start: start + self.batch_size]
+        bsz = self.effective_batch_size(self.batch_size)
+        for start in range(0, len(indices), bsz):
+            batch = indices[start: start + bsz]
             if not batch:
                 continue
-            if self.is_training and len(batch) < self.batch_size:
+            if len(batch) < bsz:
                 # keep shapes static for XLA: pad the trailing batch
-                batch += indices[: self.batch_size - len(batch)]
+                batch = self._pad_cyclic(batch, indices, bsz)
             yield [(self.crop_size_h, self.crop_size_w, idx) for idx in batch]
 
     def __len__(self) -> int:
         n = len(self.get_indices_rank_i())
-        if self.is_training:
-            return -(-n // self.batch_size)
-        return -(-n // self.batch_size)
+        return -(-n // self.effective_batch_size(self.batch_size))
 
     def extra_repr(self) -> str:
         return (super().extra_repr()

@@ -115,12 +115,13 @@ class VariableBatchSampler(BaseSampler):
         n = len(indices)
         while start < n:
             crop_h, crop_w, bsz = rng.choice(self.img_batch_tuples)
+            bsz = self.effective_batch_size(bsz)
             batch = indices[start: start + bsz]
             start += bsz
             if not batch:
                 break
             if len(batch) < bsz:
-                batch += indices[: bsz - len(batch)]  # static shapes for XLA
+                batch = self._pad_cyclic(batch, indices, bsz)  # static shapes for XLA
             yield [(crop_h, crop_w, idx) for idx in batch]
 
     def __len__(self) -> int:

@@ -20,4 +20,7 @@ TRANSFORMATIONS_REGISTRY = Registry(
 
 
 def arguments_augmentation(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    from cvnets_tpu.ops.mixing import arguments_mixing
+
+    parser = arguments_mixing(parser)
     return TRANSFORMATIONS_REGISTRY.all_arguments(parser)

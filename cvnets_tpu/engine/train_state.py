@@ -1,0 +1,152 @@
+"""Train state + the jit'd GSPMD train/eval steps.
+
+This replaces the reference's hot loop internals (reference
+engine/training_engine.py:195-367): autocast forward, backward with DDP allreduce,
+GradScaler, clip, optimizer step, EMA — all of it becomes ONE compiled XLA program:
+
+* forward+backward in bf16/f32 mixed precision (no loss scaling on TPU),
+* gradient psums inserted by GSPMD from the batch sharding,
+* global-norm clip, optax update, EMA — fused elementwise passes,
+* metric (sum, count) pairs computed on device, fetched at log frequency only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from cvnets_tpu.misc.averaging_utils import ema_update
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None  # None when EMA disabled
+
+    @property
+    def eval_params(self):
+        return self.ema_params if self.ema_params is not None else self.params
+
+
+def create_train_state(model, tx, rng, dummy_batch, ema_enabled: bool = False):
+    variables = model.init(
+        {"params": rng, "dropout": rng}, dummy_batch["samples"], training=False
+    )
+    params = variables.get("params", {})
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        # must be a distinct buffer from params (donation forbids aliased inputs)
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema_enabled else None,
+    )
+
+
+def global_grad_norm(grads) -> jnp.ndarray:
+    return optax.global_norm(grads)
+
+
+def make_train_step(
+    model,
+    criteria,
+    tx,
+    opts,
+    metric_objs: Dict[str, Any],
+    mixing_fn: Optional[Callable] = None,
+):
+    """Build the jit-able train step closure.
+
+    ``mixing_fn(rng, samples, targets, n_classes) -> (samples, soft_targets)``
+    implements device-side mixup/cutmix (reference applies these in the Trainer after
+    the device move, engine/training_engine.py:238).
+    """
+    grad_clip = getattr(opts, "common.grad_clip", None)
+    ema_enabled = getattr(opts, "ema.enable", False)
+    ema_momentum = getattr(opts, "ema.momentum", 0.0001)
+    n_classes = getattr(opts, "model.classification.n_classes", None)
+
+    def train_step(state: TrainState, batch: Dict, lr: jnp.ndarray, rng) -> Tuple:
+        samples, targets = batch["samples"], batch["targets"]
+        rng = jax.random.fold_in(rng, state.step)
+        mix_rng, dropout_rng = jax.random.split(rng)
+        if mixing_fn is not None:
+            samples, targets = mixing_fn(mix_rng, samples, targets, n_classes)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(
+                variables, samples, training=True,
+                mutable=mutable, rngs={"dropout": dropout_rng},
+            )
+            prediction, new_vars = out if mutable else (out, {})
+            loss = criteria(samples, prediction, targets, training=True)
+            total = loss["total_loss"] if isinstance(loss, dict) else loss
+            return total.astype(jnp.float32), (loss, prediction, new_vars)
+
+        (total_loss, (loss, prediction, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        grad_norm = global_grad_norm(grads)
+        if grad_clip is not None and grad_clip > 0:
+            scale = jnp.minimum(1.0, grad_clip / (grad_norm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        if ema_enabled and new_ema is not None:
+            new_ema = ema_update(new_ema, new_params, ema_momentum)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_vars.get("batch_stats", state.batch_stats),
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+        )
+
+        extras = {"loss": loss, "grad_norm": grad_norm}
+        metrics = {}
+        for name, metric in metric_objs.items():
+            bv = getattr(metric, "batch_values", None)
+            if bv is not None:
+                metrics[name] = bv(prediction, targets, extras)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, criteria, metric_objs: Dict[str, Any], use_ema: bool = False):
+    def eval_step(state: TrainState, batch: Dict) -> Dict:
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        prediction = model.apply(variables, batch["samples"], training=False)
+        loss = criteria(batch["samples"], prediction, batch["targets"], training=False)
+        extras = {"loss": loss}
+        metrics = {}
+        for name, metric in metric_objs.items():
+            bv = getattr(metric, "batch_values", None)
+            if bv is not None:
+                metrics[name] = bv(prediction, batch["targets"], extras)
+        return metrics
+
+    return eval_step

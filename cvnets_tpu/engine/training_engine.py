@@ -1,0 +1,219 @@
+"""Trainer (parity: reference engine/training_engine.py:36-741).
+
+The reference's per-iteration python work (autocast, backward, scaler, clip, step,
+EMA, metric allreduce) is compiled into one XLA program (engine/train_state.py);
+the Trainer's job shrinks to: drive the loader, compute the per-iteration LR
+host-side (scheduler numerics identical to the reference), feed sharded batches,
+accumulate metric (sum, count) pairs, checkpoint, and log.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from cvnets_tpu.engine.train_state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from cvnets_tpu.layers.normalization import AdjustBatchNormMomentum
+from cvnets_tpu.metrics.stats import Statistics
+from cvnets_tpu.misc.averaging_utils import ema_update
+from cvnets_tpu.ops.mixing import build_mixing_fn
+from cvnets_tpu.optim import build_optimizer
+from cvnets_tpu.optim.scheduler import build_scheduler
+from cvnets_tpu.parallel import create_mesh, replicated_sharding, shard_batch
+from cvnets_tpu.utils import logger
+from cvnets_tpu.utils.checkpoint_utils import CheckpointManager, load_checkpoint
+
+DEFAULT_LOG_FREQ = 100
+
+
+class Trainer:
+    def __init__(
+        self,
+        opts,
+        model,
+        criteria,
+        train_loader,
+        val_loader=None,
+        train_sampler=None,
+        start_epoch: int = 0,
+        start_iteration: int = 0,
+        save_dir: Optional[str] = None,
+    ) -> None:
+        self.opts = opts
+        self.model = model
+        self.criteria = criteria
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.train_sampler = train_sampler
+
+        self.is_master_node = jax.process_index() == 0
+        self.mesh = create_mesh(opts)
+
+        self.max_epochs = getattr(opts, "scheduler.max_epochs", 100) or 100
+        self.max_iterations = getattr(opts, "scheduler.max_iterations", 10**9) or 10**9
+        self.is_iteration_based = getattr(opts, "scheduler.is_iteration_based", False)
+        if self.is_iteration_based:
+            self.max_epochs = 10**7
+        self.log_freq = getattr(opts, "common.log_freq", DEFAULT_LOG_FREQ)
+        self.save_interval_freq = getattr(opts, "common.save_interval_freq", 0) or 0
+        self.seed = getattr(opts, "common.seed", 0) or 0
+        self.ema_enabled = getattr(opts, "ema.enable", False)
+        self.ema_copy_at_epoch = getattr(opts, "ema.copy_at_epoch", -1)
+
+        self.train_metric_names = getattr(opts, "stats.train", ["loss"])
+        self.val_metric_names = getattr(opts, "stats.val", ["loss"])
+        self.ckpt_metric_name = getattr(opts, "stats.checkpoint_metric", "loss")
+
+        lr_mults = {}
+        if hasattr(model, "get_lr_multipliers"):
+            lr_mults = model.get_lr_multipliers(opts) or {}
+        self.tx = build_optimizer(opts, lr_multipliers=lr_mults)
+        self.scheduler = build_scheduler(opts)
+        self.mixing_fn = build_mixing_fn(opts)
+
+        # BN momentum annealing hook (reference training_engine.py:120-129)
+        self.adjust_norm_mom = None
+        if getattr(opts, "model.normalization.adjust_bn_momentum.enable", False):
+            self.adjust_norm_mom = AdjustBatchNormMomentum(opts)
+            logger.warning(
+                "BN momentum annealing is tracked host-side; the compiled step uses"
+                " the config momentum (annealing support lands with a momentum input)."
+            )
+
+        # ---- build state from a dummy batch -------------------------------
+        rng = jax.random.PRNGKey(self.seed)
+        dummy = model.dummy_input_and_label(2)
+        self.state = create_train_state(model, self.tx, rng, dummy,
+                                        ema_enabled=self.ema_enabled)
+        self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+        self.rng = rng
+
+        # ---- checkpointing -------------------------------------------------
+        results_loc = getattr(opts, "common.results_loc", "results")
+        run_label = getattr(opts, "common.run_label", "run_1")
+        self.save_dir = save_dir or f"{results_loc}/{run_label}"
+        self.ckpt_manager = CheckpointManager(opts, self.save_dir,
+                                              self.is_master_node)
+        self.state, self.start_epoch, self.start_iteration, best = load_checkpoint(
+            opts, self.state, self.save_dir
+        )
+        if best is not None:
+            self.ckpt_manager.best_metric = best
+        self.start_epoch = max(self.start_epoch, start_epoch)
+        self.train_iterations = max(self.start_iteration, start_iteration)
+
+        # ---- compiled steps -----------------------------------------------
+        train_metrics = {
+            name: m for name, m in Statistics(opts, self.train_metric_names,
+                                              self.is_master_node).metrics.items()
+        }
+        val_metrics = {
+            name: m for name, m in Statistics(opts, self.val_metric_names,
+                                              self.is_master_node).metrics.items()
+        }
+        self._train_step = jax.jit(
+            make_train_step(model, criteria, self.tx, opts, train_metrics,
+                            mixing_fn=self.mixing_fn),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(make_eval_step(model, criteria, val_metrics))
+        self._eval_step_ema = jax.jit(
+            make_eval_step(model, criteria, val_metrics, use_ema=True)
+        )
+
+    # ------------------------------------------------------------------ train
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        stats = Statistics(self.opts, self.train_metric_names, self.is_master_node)
+        epoch_start = time.time()
+        batch_start = time.time()
+        samples_seen = 0
+        total = getattr(self.train_loader, "__len__", lambda: 0)()
+
+        for batch in self.train_loader:
+            load_t = time.time() - batch_start
+            if self.train_iterations >= self.max_iterations:
+                break
+            lr = self.scheduler.retrieve_lr(epoch, self.train_iterations)
+            sharded = shard_batch(self.mesh, batch)
+            self.state, metrics = self._train_step(
+                self.state, sharded, lr, self.rng
+            )
+            bsz = int(np.asarray(batch["samples"]).shape[0])
+            samples_seen += bsz
+            self.train_iterations += 1
+
+            if self.train_iterations % self.log_freq == 0:
+                host_metrics = jax.device_get(metrics)
+                stats.update(precomputed=host_metrics, batch_load_time=load_t,
+                             batch_size=bsz)
+                stats.iter_summary(epoch, samples_seen, total * bsz,
+                                   epoch_start, lr)
+            if (self.save_interval_freq > 0
+                    and self.train_iterations % self.save_interval_freq == 0):
+                self.ckpt_manager.save_interval(
+                    jax.device_get(self.state), self.train_iterations
+                )
+            batch_start = time.time()
+        self._last_lr = self.scheduler.retrieve_lr(epoch, self.train_iterations)
+        return stats.avg_statistics_all()
+
+    # -------------------------------------------------------------------- val
+    def val_epoch(self, epoch: int, use_ema: bool = False) -> Dict[str, float]:
+        if self.val_loader is None:
+            return {}
+        stats = Statistics(self.opts, self.val_metric_names, self.is_master_node,
+                           is_evaluation=True)
+        step = self._eval_step_ema if use_ema else self._eval_step
+        for batch in self.val_loader:
+            sharded = shard_batch(self.mesh, batch)
+            metrics = step(self.state, sharded)
+            bsz = int(np.asarray(batch["samples"]).shape[0])
+            stats.update(precomputed=jax.device_get(metrics), batch_size=bsz)
+        stage = "validation (EMA)" if use_ema else "validation"
+        stats.epoch_summary(epoch, stage=stage)
+        self._val_stats = stats
+        return stats.avg_statistics_all()
+
+    # -------------------------------------------------------------------- run
+    def run(self, train_sampler=None) -> None:
+        train_sampler = train_sampler or self.train_sampler
+        max_checkpoint_metric = getattr(self.opts, "stats.checkpoint_metric_max", False)
+
+        for epoch in range(self.start_epoch, self.max_epochs):
+            if train_sampler is not None:
+                train_sampler.set_epoch(epoch)
+                train_sampler.update_scales(epoch, is_master_node=self.is_master_node)
+
+            train_stats = self.train_epoch(epoch)
+            if self.is_master_node and train_stats:
+                summary = " || ".join(f"{k}: {v:.4f}" for k, v in train_stats.items())
+                logger.log(f"*** Training summary for epoch {epoch}: {summary}")
+
+            val_stats = self.val_epoch(epoch)
+            if self.ema_enabled:
+                ema_stats = self.val_epoch(epoch, use_ema=True)
+                if epoch == self.ema_copy_at_epoch:
+                    self.state = self.state.replace(params=self.state.ema_params)
+                    logger.info(f"Copied EMA weights into model at epoch {epoch}")
+            ckpt_metric = val_stats.get(
+                self.ckpt_metric_name,
+                val_stats.get("loss", train_stats.get("loss", 0.0)),
+            ) if val_stats else train_stats.get("loss", 0.0)
+
+            host_state = jax.device_get(self.state)
+            self.ckpt_manager.save(host_state, epoch, self.train_iterations,
+                                   float(ckpt_metric))
+
+            if self.train_iterations >= self.max_iterations:
+                logger.info("Max iterations reached; stopping.")
+                break
+        if self.is_master_node:
+            logger.info("Training completed.", print_line=True)

@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cvnets_tpu.layers.activation import build_act_layer
+from cvnets_tpu.layers.dtype_utils import compute_dtype
 from cvnets_tpu.layers.init_utils import conv_init
 from cvnets_tpu.layers.normalization import get_normalization_layer
 
@@ -57,6 +58,7 @@ class ConvLayer2d(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.bias,
             kernel_init=conv_init(self.opts),
+            dtype=compute_dtype(self.opts),
             name="conv",
         )(x)
         if self.use_norm:
@@ -152,6 +154,7 @@ class TransposeConvLayer2d(nn.Module):
             padding="SAME",
             use_bias=self.bias,
             kernel_init=conv_init(self.opts),
+            dtype=compute_dtype(self.opts),
             name="conv",
         )(x)
         if self.use_norm:

@@ -18,6 +18,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from cvnets_tpu.layers.dtype_utils import compute_dtype
 from cvnets_tpu.layers.init_utils import conv_init
 
 
@@ -38,18 +39,19 @@ class LinearSelfAttention(nn.Module):
         (reference _forward_cross_attn, linear_attention.py:163-207)."""
         d = self.embed_dim
         init = conv_init(self.opts)
+        dt = compute_dtype(self.opts)
 
         if x_prev is None:
-            qkv = nn.Dense(1 + 2 * d, use_bias=self.bias, kernel_init=init,
+            qkv = nn.Dense(1 + 2 * d, use_bias=self.bias, kernel_init=init, dtype=dt,
                            name="qkv_proj")(x)
             query, key, value = jnp.split(qkv, [1, 1 + d], axis=-1)
         else:
             # cross-attn: q+k from x_prev-conditioned weights applied to x, value from x
             # reference slices the qkv conv weights; equivalent: separate projections
-            qk = nn.Dense(1 + d, use_bias=self.bias, kernel_init=init,
+            qk = nn.Dense(1 + d, use_bias=self.bias, kernel_init=init, dtype=dt,
                           name="qk_proj")(x_prev)
             query, key = jnp.split(qk, [1], axis=-1)
-            value = nn.Dense(d, use_bias=self.bias, kernel_init=init,
+            value = nn.Dense(d, use_bias=self.bias, kernel_init=init, dtype=dt,
                              name="v_proj")(x)
 
         # softmax over token axis N (axis=-2 in B,P,N,C layout)
@@ -60,5 +62,5 @@ class LinearSelfAttention(nn.Module):
         # context vector: weighted sum of keys over tokens -> (B, P, 1, C)
         context = jnp.sum(key * scores, axis=-2, keepdims=True)
         out = nn.relu(value) * context
-        out = nn.Dense(d, use_bias=self.bias, kernel_init=init, name="out_proj")(out)
+        out = nn.Dense(d, use_bias=self.bias, kernel_init=init, dtype=dt, name="out_proj")(out)
         return out

@@ -7,6 +7,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from cvnets_tpu.layers.dtype_utils import compute_dtype
 from cvnets_tpu.layers.init_utils import linear_init
 
 
@@ -23,6 +24,7 @@ class LinearLayer(nn.Module):
             features=self.out_features,
             use_bias=self.bias,
             kernel_init=linear_init(self.opts),
+            dtype=compute_dtype(self.opts),
             name="linear",
         )(x)
 

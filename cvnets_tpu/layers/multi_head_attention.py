@@ -13,6 +13,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from cvnets_tpu.layers.dtype_utils import compute_dtype
 from cvnets_tpu.layers.init_utils import linear_init
 
 
@@ -41,9 +42,10 @@ class MultiHeadAttention(nn.Module):
         assert hd * h == d, "embed_dim must be divisible by num_heads"
 
         qkv_init = linear_init(self.opts)
-        q = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, name="q_proj")(x_q)
-        k = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, name="k_proj")(x_kv)
-        v = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, name="v_proj")(x_kv)
+        dt = compute_dtype(self.opts)
+        q = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="q_proj")(x_q)
+        k = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="k_proj")(x_kv)
+        v = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="v_proj")(x_kv)
 
         b, nq, _ = q.shape
         nk = k.shape[1]
@@ -62,7 +64,7 @@ class MultiHeadAttention(nn.Module):
         if self.attn_dropout > 0:
             attn = nn.Dropout(rate=self.attn_dropout, deterministic=not training)(attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, nq, d)
-        return nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, name="out_proj")(out)
+        return nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="out_proj")(out)
 
 
 SingleHeadAttention = MultiHeadAttention  # num_heads=1

@@ -13,6 +13,7 @@ from cvnets_tpu.loss import LOSS_REGISTRY
 from cvnets_tpu.loss.base_criteria import BaseCriteria
 
 
+@LOSS_REGISTRY.register(name="__base__", type="classification")
 class BaseClassificationCriteria(BaseCriteria):
     @classmethod
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:

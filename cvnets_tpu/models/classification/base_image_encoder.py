@@ -166,6 +166,7 @@ class Classifier(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         from cvnets_tpu.layers.pool import GlobalPool
+        from cvnets_tpu.layers.dtype_utils import compute_dtype
         from cvnets_tpu.layers.init_utils import linear_init
 
         pool_type = getattr(self.opts, "model.layer.global_pool", "mean")
@@ -174,7 +175,7 @@ class Classifier(nn.Module):
             x = nn.Dropout(rate=self.dropout, deterministic=not training)(x)
         return nn.Dense(
             self.n_classes, use_bias=self.bias,
-            kernel_init=linear_init(self.opts), name="fc",
+            kernel_init=linear_init(self.opts), dtype=compute_dtype(self.opts), name="fc",
         )(x)
 
 

@@ -1,0 +1,139 @@
+"""Vision Transformer (parity: reference cvnets/models/classification/vit.py:34).
+
+Conv stem (4,2,2 strides = patch 16) → +pos-embed (interpolated for other
+resolutions) → optional CLS token → pre-norm transformer stack → final norm →
+CLS (or mean) embedding → linear classifier. ``extract_end_points_all`` exposes the
+spatial token grid for Mask R-CNN/segmentation (simple-FPN path).
+
+TPU notes: gradient checkpointing wraps each transformer block with ``nn.remat``;
+stochastic depth follows the reference's per-layer linear schedule.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cvnets_tpu.layers.conv_layer import ConvLayer2d
+from cvnets_tpu.layers.normalization import get_normalization_layer
+from cvnets_tpu.layers.positional_embedding import PositionalEmbedding
+from cvnets_tpu.models import MODEL_REGISTRY
+from cvnets_tpu.models.classification.base_image_encoder import BaseImageEncoder
+from cvnets_tpu.models.classification.config.vit import get_configuration
+from cvnets_tpu.modules.transformer import TransformerEncoder
+
+
+@MODEL_REGISTRY.register(name="vit", type="classification")
+class VisionTransformer(BaseImageEncoder):
+    opts: Any = None
+    output_stride: Optional[int] = None
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(title=cls.__name__)
+        group.add_argument("--model.classification.vit.mode", type=str, default="base")
+        group.add_argument("--model.classification.vit.dropout", type=float, default=0.0)
+        group.add_argument("--model.classification.vit.stochastic-dropout",
+                           type=float, default=0.0)
+        group.add_argument("--model.classification.vit.norm-layer", type=str,
+                           default="layer_norm")
+        group.add_argument("--model.classification.vit.sinusoidal-pos-emb",
+                           action="store_true", default=False)
+        group.add_argument("--model.classification.vit.no-cls-token",
+                           action="store_true", default=False)
+        group.add_argument("--model.classification.vit.use-pytorch-mha",
+                           action="store_true", default=False,
+                           help="Config-compat; single fused MHA path on TPU")
+        group.add_argument("--model.classification.vit.use-simple-fpn",
+                           action="store_true", default=False)
+        group.add_argument("--model.classification.vit.checkpoint-segments",
+                           type=int, default=4)
+        return parser
+
+    def _config(self):
+        return get_configuration(self.opts)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 return_image_embeddings: bool = False) -> Any:
+        opts = self.opts
+        cfg = self._config()
+        embed_dim = cfg["embed_dim"]
+        use_cls_token = not getattr(opts, "model.classification.vit.no_cls_token", False)
+        sinusoidal = getattr(opts, "model.classification.vit.sinusoidal_pos_emb", False)
+        sd_prob = getattr(opts, "model.classification.vit.stochastic_dropout", 0.0) or 0.0
+
+        strides = [4, 2, 2]
+        if self.output_stride == 8:
+            strides[0] = 2
+        conv_stem_dim = max(32, embed_dim // 4)
+        # conv stem: 4,2,2 (= patch 16)
+        x = ConvLayer2d(opts=opts, out_channels=conv_stem_dim, kernel_size=strides[0],
+                        stride=strides[0], bias=False, use_norm=True, use_act=True,
+                        name="patch_emb_0")(x, training=training)
+        x = ConvLayer2d(opts=opts, out_channels=conv_stem_dim, kernel_size=2,
+                        stride=strides[1], bias=False, use_norm=True, use_act=True,
+                        name="patch_emb_1")(x, training=training)
+        x = ConvLayer2d(opts=opts, out_channels=embed_dim, kernel_size=2,
+                        stride=strides[2], bias=True, use_norm=False, use_act=False,
+                        name="patch_emb_2")(x, training=training)
+
+        b, n_h, n_w, c = x.shape
+        tokens = x.reshape(b, n_h * n_w, c)
+        tokens = PositionalEmbedding(
+            num_embeddings=(224 // 16) ** 2, embedding_dim=embed_dim,
+            is_learnable=not sinusoidal, name="pos_embed",
+        )(tokens)
+        if use_cls_token:
+            cls_token = self.param(
+                "cls_token", nn.initializers.truncated_normal(stddev=0.02),
+                (1, 1, embed_dim),
+            )
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls_token, (b, 1, embed_dim)).astype(tokens.dtype),
+                 tokens], axis=1,
+            )
+        if cfg["pos_emb_drop_p"] > 0:
+            tokens = nn.Dropout(rate=cfg["pos_emb_drop_p"],
+                                deterministic=not training)(tokens)
+
+        n_layers = cfg["n_transformer_layers"]
+        block_cls = TransformerEncoder
+        if self.gradient_checkpointing:
+            block_cls = nn.remat(TransformerEncoder, static_argnums=(5,))
+        for i in range(n_layers):
+            tokens = block_cls(
+                opts=opts, embed_dim=embed_dim, ffn_latent_dim=cfg["ffn_dim"],
+                num_heads=cfg["n_attn_heads"], attn_dropout=cfg["attn_dropout"],
+                dropout=cfg["dropout"], ffn_dropout=cfg["ffn_dropout"],
+                transformer_norm_layer=cfg["norm_layer"],
+                stochastic_dropout=sd_prob * i / max(n_layers - 1, 1),
+                name=f"transformer_{i}",
+            )(tokens, None, None, None, training)
+        norm = get_normalization_layer(opts, norm_type=cfg["norm_layer"])
+        tokens = norm.copy(name="post_transformer_norm")(tokens)
+
+        if use_cls_token:
+            cls_embedding = tokens[:, 0]
+            image_embedding = tokens[:, 1:]
+        else:
+            cls_embedding = jnp.mean(tokens, axis=1)
+            image_embedding = tokens
+
+        from cvnets_tpu.layers.dtype_utils import compute_dtype
+        from cvnets_tpu.layers.init_utils import linear_init
+
+        logits = nn.Dense(self.n_classes, kernel_init=linear_init(opts),
+                          dtype=compute_dtype(opts), name="classifier")(cls_embedding)
+        if return_image_embeddings:
+            return logits, image_embedding.reshape(b, n_h, n_w, c)
+        return logits
+
+    def extract_end_points_all(self, x, use_l5: bool = True, use_l5_exp: bool = False,
+                               training: bool = False) -> Dict[str, jnp.ndarray]:
+        _logits, image_embedding = self(x, training=training,
+                                        return_image_embeddings=True)
+        return {"out_l5": image_embedding}

@@ -69,12 +69,15 @@ class InvertedResidualSE(nn.Module):
     squeeze_factor: int = 4
     stochastic_depth_prob: float = 0.0
     se_scale_fn_name: str = "hard_sigmoid"
+    act_fn_name: str = "relu"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         from cvnets_tpu.layers.random_layers import StochasticDepth
 
-        act_name = "hard_swish" if self.use_hs else "relu"
+        # use_hs forces hard-swish (MobileNetV3); EfficientNet passes
+        # act_fn_name="swish" (reference InvertedResidualSE signature)
+        act_name = "hard_swish" if self.use_hs else self.act_fn_name
         hidden_dim = make_divisible(round(self.in_channels * self.expand_ratio), 8)
         use_res = self.stride == 1 and self.in_channels == self.out_channels
         y = x

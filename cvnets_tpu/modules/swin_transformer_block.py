@@ -1,0 +1,186 @@
+"""Swin transformer blocks (parity: reference cvnets/modules/swin_transformer_block.py:16-410).
+
+NHWC window partition is reshape+transpose (no gather); shifted windows use
+``jnp.roll`` + additive attention masks computed from static shapes at trace time,
+so everything stays XLA-static. Relative position bias is a learned table indexed by
+a precomputed static index map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from cvnets_tpu.layers.dtype_utils import compute_dtype
+from cvnets_tpu.layers.init_utils import linear_init
+from cvnets_tpu.layers.random_layers import StochasticDepth
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, ws*ws, C); H, W divisible by ws."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, -1)
+
+
+def relative_position_index(ws: int) -> np.ndarray:
+    """Static (ws², ws²) index into the (2ws-1)² bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    coords = coords.reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Static additive mask (nW, ws², ws²) for SW-MSA."""
+    img_mask = np.zeros((1, h, w, 1))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wslice in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, hs, wslice, :] = cnt
+            cnt += 1
+    mask_windows = img_mask.reshape(1, h // ws, ws, w // ws, ws, 1)
+    mask_windows = mask_windows.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws)
+    attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    opts: Any
+    dim: int
+    num_heads: int
+    window_size: int
+    attn_dropout: float = 0.0
+    proj_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 training: bool = False) -> jnp.ndarray:
+        bnw, n, c = x.shape
+        h = self.num_heads
+        hd = self.dim // h
+        dt = compute_dtype(self.opts)
+        qkv = nn.Dense(3 * self.dim, use_bias=True, kernel_init=linear_init(self.opts),
+                       dtype=dt, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(bnw, n, 3, h, hd), 3, axis=2)
+        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
+
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * self.window_size - 1) ** 2, h),
+        )
+        idx = relative_position_index(self.window_size)
+        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+        logits = logits + bias[None].astype(logits.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            logits = logits.reshape(bnw // nw, nw, h, n, n)
+            logits = logits + mask[None, :, None].astype(logits.dtype)
+            logits = logits.reshape(bnw, h, n, n)
+        attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+        if self.attn_dropout > 0:
+            attn = nn.Dropout(rate=self.attn_dropout, deterministic=not training)(attn)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(bnw, n, self.dim)
+        out = nn.Dense(self.dim, kernel_init=linear_init(self.opts), dtype=dt,
+                       name="proj")(out)
+        if self.proj_dropout > 0:
+            out = nn.Dropout(rate=self.proj_dropout, deterministic=not training)(out)
+        return out
+
+
+class SwinTransformerBlock(nn.Module):
+    """W-MSA/SW-MSA + MLP block over NHWC feature maps
+    (reference swin_transformer_block.py:326)."""
+
+    opts: Any
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    stochastic_depth_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        ws = min(self.window_size, h, w)
+        shift = self.shift_size if ws < min(h, w) else 0
+        # pad to window multiple
+        pad_h = (-h) % ws
+        pad_w = (-w) % ws
+        xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
+
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(xp)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(hp, wp, ws, shift))
+        else:
+            mask = None
+        windows = window_partition(y, ws)
+        attn_windows = WindowAttention(
+            opts=self.opts, dim=self.dim, num_heads=self.num_heads, window_size=ws,
+            attn_dropout=self.attn_dropout, proj_dropout=self.dropout, name="attn",
+        )(windows, mask=mask, training=training)
+        y = window_reverse(attn_windows, ws, hp, wp)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :h, :w, :]
+        y = StochasticDepth(p=self.stochastic_depth_prob)(y, training=training)
+        x = shortcut + y
+
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        dt = compute_dtype(self.opts)
+        y = nn.Dense(int(self.dim * self.mlp_ratio),
+                     kernel_init=linear_init(self.opts), dtype=dt, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        if self.dropout > 0:
+            y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
+        y = nn.Dense(self.dim, kernel_init=linear_init(self.opts), dtype=dt,
+                     name="mlp_fc2")(y)
+        if self.dropout > 0:
+            y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
+        y = StochasticDepth(p=self.stochastic_depth_prob)(y, training=training)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    """2×2 spatial merge: concat 4 neighbors → LN → Linear(4C→2C)
+    (reference swin_transformer_block.py:45)."""
+
+    opts: Any
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        pad_h, pad_w = h % 2, w % 2
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            h, w = h + pad_h, w + pad_w
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False,
+                        kernel_init=linear_init(self.opts),
+                        dtype=compute_dtype(self.opts), name="reduction")(x)

@@ -1,0 +1,63 @@
+"""Mesh construction and batch sharding helpers."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(opts=None, devices: Optional[Sequence] = None) -> Mesh:
+    """Build the device mesh from ``--dev.mesh-shape``/``--dev.mesh-axis-names``.
+
+    Default: all devices on a single ``data`` axis (pure DP — the only parallelism the
+    reference has, SURVEY.md §2.8). A second ``model`` axis enables TP/SP layouts for
+    models that opt in.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if opts is not None:
+            n = getattr(opts, "dev.num_devices", -1) or -1
+            if n > 0:
+                devices = devices[:n]
+    shape = getattr(opts, "dev.mesh_shape", None) if opts is not None else None
+    axis_names = getattr(opts, "dev.mesh_axis_names", None) if opts is not None else None
+    if not shape:
+        shape = [len(devices)]
+    if not axis_names:
+        axis_names = [DATA_AXIS, MODEL_AXIS][: len(shape)]
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Place a host-local numpy batch onto the mesh, sharded along the batch axis.
+
+    Single-host: a plain device_put with NamedSharding. Multi-host: each host holds
+    its sampler shard; ``make_array_from_process_local_data`` assembles the global
+    array (the sampler guarantees identical global shapes across hosts).
+    """
+    sharding = data_sharding(mesh)
+
+    def _put(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(np.asarray(x), sharding)
+
+    return jax.tree_util.tree_map(_put, batch)

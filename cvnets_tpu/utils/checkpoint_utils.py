@@ -1,0 +1,211 @@
+"""Checkpoint save/load with the reference's file-role semantics.
+
+Parity: reference utils/checkpoint_utils.py:94-407 —
+* ``training_checkpoint_last`` : full training state {iterations, epoch, params,
+  batch_stats, opt_state, best_metric, ema} for auto-resume,
+* ``checkpoint_best`` / ``checkpoint_last`` (+ ``_ema`` variants): eval params only,
+* k-best score-named checkpoints and their fp64 parameter average ``checkpoint_avg``,
+* optional per-epoch and every-N-updates interval checkpoints.
+
+Implemented on orbax PyTreeCheckpointer; paths are directories rather than ``.pt``
+files. On multi-host, only process 0 drives the save (orbax handles the rest).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from cvnets_tpu.utils import logger
+
+CHECKPOINT_EXTN = "ckpt"
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _checkpointer().save(path, _to_host(tree))
+
+
+def load_pytree(path: str, target: Any = None) -> Any:
+    path = os.path.abspath(path)
+    restored = _checkpointer().restore(path)
+    if target is not None:
+        # restore dtypes/structure of target
+        flat_t, treedef = jax.tree_util.tree_flatten(target)
+        flat_r = jax.tree_util.tree_leaves(restored)
+        if len(flat_t) == len(flat_r):
+            flat = [
+                np.asarray(r).astype(t.dtype) if hasattr(t, "dtype") else r
+                for t, r in zip(flat_t, flat_r)
+            ]
+            return jax.tree_util.tree_unflatten(treedef, flat)
+    return restored
+
+
+def average_ckpt_trees(trees: List[Any]) -> Any:
+    """fp64 parameter averaging (reference avg_and_save_k_checkpoints :62-91)."""
+    def avg(*leaves):
+        acc = np.zeros_like(np.asarray(leaves[0], dtype=np.float64))
+        for leaf in leaves:
+            acc += np.asarray(leaf, dtype=np.float64)
+        acc /= len(leaves)
+        return acc.astype(np.asarray(leaves[0]).dtype)
+
+    return jax.tree_util.tree_map(avg, *trees)
+
+
+class CheckpointManager:
+    def __init__(self, opts, save_dir: str, is_master_node: bool = True) -> None:
+        self.opts = opts
+        self.save_dir = save_dir
+        self.is_master_node = is_master_node
+        self.k_best = getattr(opts, "common.k_best_checkpoints", 5) or 0
+        self.save_all = getattr(opts, "common.save_all_checkpoints", False)
+        self.max_metric = getattr(opts, "stats.checkpoint_metric_max", False)
+        self.ckpt_metric = getattr(opts, "stats.checkpoint_metric", "loss")
+        self.best_metric: float = -float("inf") if self.max_metric else float("inf")
+        self.k_best_scores: List[Tuple[float, str]] = []
+        os.makedirs(save_dir, exist_ok=True)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.save_dir, f"{name}.{CHECKPOINT_EXTN}")
+
+    def is_best(self, metric: float) -> bool:
+        return metric >= self.best_metric if self.max_metric else metric <= self.best_metric
+
+    def save(self, state, epoch: int, iterations: int, ckpt_metric: float) -> None:
+        """Epoch-end checkpoint cycle (reference save_checkpoint :230-329)."""
+        if not self.is_master_node:
+            return
+        # full training state for auto-resume
+        save_pytree(self._p("training_checkpoint_last"), {
+            "epoch": np.asarray(epoch),
+            "iterations": np.asarray(iterations),
+            "best_metric": np.asarray(self.best_metric if np.isfinite(self.best_metric)
+                                      else ckpt_metric),
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params if state.ema_params is not None else {},
+        })
+        save_pytree(self._p("checkpoint_last"), {"params": state.params,
+                                                 "batch_stats": state.batch_stats})
+        if state.ema_params is not None:
+            save_pytree(self._p("checkpoint_ema_last"),
+                        {"params": state.ema_params, "batch_stats": state.batch_stats})
+
+        if self.is_best(ckpt_metric):
+            self.best_metric = ckpt_metric
+            save_pytree(self._p("checkpoint_best"),
+                        {"params": state.params, "batch_stats": state.batch_stats})
+            if state.ema_params is not None:
+                save_pytree(self._p("checkpoint_ema_best"),
+                            {"params": state.ema_params,
+                             "batch_stats": state.batch_stats})
+
+        if self.save_all:
+            save_pytree(self._p(f"checkpoint_epoch_{epoch}"),
+                        {"params": state.params, "batch_stats": state.batch_stats})
+
+        if self.k_best > 0:
+            self._update_k_best(state, ckpt_metric)
+
+    def _update_k_best(self, state, metric: float) -> None:
+        """Keep k score-named checkpoints + their average (reference :94-154)."""
+        name = f"checkpoint_score_{metric:.4f}"
+        save_pytree(self._p(name), {"params": state.params,
+                                    "batch_stats": state.batch_stats})
+        self.k_best_scores.append((metric, self._p(name)))
+        self.k_best_scores.sort(key=lambda t: t[0], reverse=self.max_metric)
+        while len(self.k_best_scores) > self.k_best:
+            _, drop = self.k_best_scores.pop()
+            if os.path.exists(drop):
+                shutil.rmtree(drop, ignore_errors=True)
+        if len(self.k_best_scores) >= 2:
+            trees = [load_pytree(p)["params"] for _, p in self.k_best_scores]
+            avg = average_ckpt_trees(trees)
+            save_pytree(self._p("checkpoint_avg"),
+                        {"params": avg, "batch_stats": state.batch_stats})
+
+    def save_interval(self, state, iterations: int) -> None:
+        """Every-N-updates checkpoint (reference :157-188)."""
+        if not self.is_master_node:
+            return
+        save_pytree(self._p(f"checkpoint_iter_{iterations}"),
+                    {"params": state.params, "batch_stats": state.batch_stats})
+
+
+def load_checkpoint(opts, state, save_dir: str):
+    """Auto-resume from training_checkpoint_last (reference load_checkpoint :332-407).
+
+    Returns (state, start_epoch, iterations, best_metric) — state unchanged if no
+    checkpoint exists.
+    """
+    resume_loc = getattr(opts, "common.resume", None)
+    auto_resume = getattr(opts, "common.auto_resume", False)
+    path = None
+    if resume_loc:
+        path = resume_loc
+    elif auto_resume:
+        candidate = os.path.join(save_dir, f"training_checkpoint_last.{CHECKPOINT_EXTN}")
+        if os.path.isdir(candidate):
+            path = candidate
+    if path is None:
+        return state, 0, 0, None
+    blob = load_pytree(path)
+    target_ema = state.ema_params
+
+    def cast_like(target, restored):
+        if target is None or not restored:
+            return target
+        return jax.tree_util.tree_map(
+            lambda t, r: np.asarray(r).astype(t.dtype), target, restored
+        )
+
+    state = state.replace(
+        params=cast_like(state.params, blob["params"]),
+        batch_stats=cast_like(state.batch_stats, blob.get("batch_stats", {})),
+        opt_state=jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(blob["opt_state"]),
+        ) if "opt_state" in blob else state.opt_state,
+        ema_params=cast_like(target_ema, blob.get("ema_params")) if target_ema is not None else None,
+        step=np.asarray(blob.get("iterations", 0), np.int32),
+    )
+    epoch = int(blob.get("epoch", -1)) + 1
+    iterations = int(blob.get("iterations", 0))
+    best = float(blob.get("best_metric")) if blob.get("best_metric") is not None else None
+    logger.info(f"Resumed from {path}: epoch {epoch}, iteration {iterations}")
+    return state, epoch, iterations, best
+
+
+def load_model_weights(path: str, params, batch_stats=None):
+    """Load params-only checkpoint (finetune path)."""
+    blob = load_pytree(path)
+    src = blob.get("params", blob)
+    new_params = jax.tree_util.tree_map(
+        lambda t, r: np.asarray(r).astype(t.dtype), params, src
+    )
+    new_bs = batch_stats
+    if batch_stats is not None and blob.get("batch_stats"):
+        new_bs = jax.tree_util.tree_map(
+            lambda t, r: np.asarray(r).astype(t.dtype), batch_stats, blob["batch_stats"]
+        )
+    return new_params, new_bs

@@ -1,0 +1,70 @@
+"""Model-zoo sweep: build every registered classification model, run
+forward + loss + grad on dummy input (mirrors reference tests/test_model.py:122-127
+strategy; config yamls join the sweep as they land)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+# models too slow / not yet registered are skipped automatically
+EXCLUDE = {"__base__"}
+
+
+def _classification_models():
+    from cvnets_tpu.models import MODEL_REGISTRY
+
+    names = []
+    for key in MODEL_REGISTRY.keys():
+        if key.startswith("classification:"):
+            name = key.split(":", 1)[1]
+            if name not in EXCLUDE:
+                names.append(name)
+    return sorted(names)
+
+
+@pytest.mark.parametrize("model_name", _classification_models())
+@pytest.mark.parametrize("batch_size", [2])
+def test_classification_model_forward_loss_grad(model_name, batch_size):
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.classification.name", model_name,
+        "--model.classification.n-classes", "7",
+        "--dataset.category", "classification",
+        "--loss.category", "classification",
+    ])
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    batch = model.dummy_input_and_label(batch_size)
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           batch["samples"], training=False)
+
+    @jax.jit
+    def loss_and_grad(params):
+        def loss_fn(p):
+            v = dict(variables, params=p)
+            mutable = ["batch_stats"] if "batch_stats" in variables else []
+            out = model.apply(v, batch["samples"], training=True,
+                              mutable=mutable, rngs={"dropout": rng})
+            pred = out[0] if mutable else out
+            loss = criteria(batch["samples"], pred, batch["targets"], training=True)
+            return loss["total_loss"] if isinstance(loss, dict) else loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss, grads = loss_and_grad(variables["params"])
+    assert jnp.isfinite(loss), f"{model_name}: non-finite loss"
+    # every parameter receives a gradient (reference reports no-grad params)
+    zero_grads = [
+        p for p, g in jax.tree_util.tree_leaves_with_path(grads)
+        if not jnp.any(jnp.abs(g) > 0)
+    ]
+    # bias-like leaves can legitimately be zero-grad on tiny inputs; require
+    # the vast majority of leaves to have signal
+    n_leaves = len(jax.tree_util.tree_leaves(grads))
+    assert len(zero_grads) < max(2, n_leaves // 4), (
+        f"{model_name}: {len(zero_grads)}/{n_leaves} zero-grad leaves"
+    )
