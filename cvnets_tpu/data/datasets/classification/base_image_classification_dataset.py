@@ -1,0 +1,124 @@
+"""ImageFolder-backed classification dataset.
+
+Parity: reference data/datasets/classification/base_image_classification_dataset.py:19
+— directory-per-class layout, percentage subset sampling, corrupt-image tolerance
+(zero tensor + label -1, dropped/replaced in collate), and the train transform chain
+driven by the sampler's (crop_h, crop_w, idx) tuples.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cvnets_tpu.constants import SUPPORTED_IMAGE_EXTNS
+from cvnets_tpu.data.datasets.dataset_base import BaseImageDataset
+from cvnets_tpu.data.transforms.common import Compose
+from cvnets_tpu.data.transforms.image import (
+    CenterCrop,
+    RandomHorizontalFlip,
+    RandomResizedCrop,
+    Resize,
+    ToFloatTensor,
+)
+from cvnets_tpu.utils import logger
+
+
+def _find_classes(root: str) -> Tuple[List[str], Dict[str, int]]:
+    classes = sorted(
+        d.name for d in os.scandir(root) if d.is_dir()
+    )
+    return classes, {c: i for i, c in enumerate(classes)}
+
+
+class BaseImageClassificationDataset(BaseImageDataset):
+    def __init__(self, opts, is_training: bool = True, is_evaluation: bool = False,
+                 *args, **kwargs) -> None:
+        super().__init__(opts, is_training=is_training, is_evaluation=is_evaluation,
+                         *args, **kwargs)
+        root = self.root
+        if not root or not os.path.isdir(root):
+            logger.error(f"Classification dataset root not found: {root!r}")
+        self.classes, self.class_to_idx = _find_classes(root)
+        samples: List[Tuple[str, int]] = []
+        for cls_name in self.classes:
+            cls_dir = os.path.join(root, cls_name)
+            for dirpath, _d, files in sorted(os.walk(cls_dir)):
+                for f in sorted(files):
+                    if os.path.splitext(f)[1].lower() in SUPPORTED_IMAGE_EXTNS:
+                        samples.append(
+                            (os.path.join(dirpath, f), self.class_to_idx[cls_name])
+                        )
+        pct = getattr(opts, "dataset.percentage_of_samples", 100.0) or 100.0
+        if is_training and pct < 100.0:
+            rng = np.random.default_rng(getattr(opts, "common.seed", 0) or 0)
+            # per-class subset to keep class balance (reference subset sampling)
+            keep = []
+            by_class: Dict[int, List] = {}
+            for s in samples:
+                by_class.setdefault(s[1], []).append(s)
+            for cls_samples in by_class.values():
+                n_keep = max(1, int(len(cls_samples) * pct / 100.0))
+                idx = rng.permutation(len(cls_samples))[:n_keep]
+                keep.extend(cls_samples[i] for i in idx)
+            samples = keep
+        self.samples = samples
+        self.n_classes = len(self.classes)
+
+    def share_dataset_arguments(self) -> Dict:
+        return {"model.classification.n_classes": self.n_classes}
+
+    def _training_transforms(self, size: Tuple[int, int]):
+        opts = self.opts
+        transforms = []
+        if getattr(opts, "image_augmentation.random_resized_crop.enable", False):
+            transforms.append(RandomResizedCrop(opts, size=size))
+        else:
+            transforms.append(Resize(opts, img_size=list(size)))
+        if getattr(opts, "image_augmentation.random_horizontal_flip.enable", False):
+            transforms.append(RandomHorizontalFlip(opts))
+        transforms.append(ToFloatTensor(opts))
+        return Compose(opts, transforms)
+
+    def _validation_transforms(self, size: Tuple[int, int]):
+        opts = self.opts
+        transforms = []
+        if getattr(opts, "image_augmentation.resize.enable", False):
+            transforms.append(Resize(opts))
+        if getattr(opts, "image_augmentation.center_crop.enable", False):
+            transforms.append(CenterCrop(opts))
+        else:
+            transforms.append(Resize(opts, img_size=list(size)))
+        transforms.append(ToFloatTensor(opts))
+        return Compose(opts, transforms)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, sample_size_and_index) -> Dict:
+        crop_h, crop_w, idx = self._parse_batch_tuple(sample_size_and_index)
+        if crop_h <= 0:
+            crop_h = crop_w = 224
+        path, target = self.samples[idx]
+        img = self.read_image_pil(path)
+        if img is None:
+            # corrupt image: zero tensor + label -1 (reference :276-286)
+            return {
+                "samples": np.zeros((crop_h, crop_w, 3), np.float32),
+                "targets": -1,
+                "sample_id": idx,
+            }
+        tfm = (self._training_transforms((crop_h, crop_w)) if self.is_training
+               else self._validation_transforms((crop_h, crop_w)))
+        data = tfm({"image": img, "crop_size": (crop_h, crop_w)})
+        arr = np.asarray(data["image"], dtype=np.float32)
+        # guarantee the static batch shape even if transforms were disabled
+        if arr.shape[:2] != (crop_h, crop_w):
+            from cvnets_tpu.data.transforms.image import _resize_image
+
+            arr = np.asarray(_resize_image(arr, (crop_h, crop_w)),
+                             dtype=np.float32) / 255.0
+        return {"samples": arr, "targets": int(target), "sample_id": idx}

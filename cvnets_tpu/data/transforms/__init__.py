@@ -20,7 +20,9 @@ TRANSFORMATIONS_REGISTRY = Registry(
 
 
 def arguments_augmentation(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    from cvnets_tpu.ops.image_ops import arguments_device_augmentation
     from cvnets_tpu.ops.mixing import arguments_mixing
 
     parser = arguments_mixing(parser)
+    parser = arguments_device_augmentation(parser)
     return TRANSFORMATIONS_REGISTRY.all_arguments(parser)

@@ -62,6 +62,7 @@ def make_train_step(
     opts,
     metric_objs: Dict[str, Any],
     mixing_fn: Optional[Callable] = None,
+    augment_fn: Optional[Callable] = None,
 ):
     """Build the jit-able train step closure.
 
@@ -74,10 +75,13 @@ def make_train_step(
     ema_momentum = getattr(opts, "ema.momentum", 0.0001)
     n_classes = getattr(opts, "model.classification.n_classes", None)
 
-    def train_step(state: TrainState, batch: Dict, lr: jnp.ndarray, rng) -> Tuple:
+    def train_step(state: TrainState, batch: Dict, lr: jnp.ndarray, rng,
+                   epoch: jnp.ndarray = 0) -> Tuple:
         samples, targets = batch["samples"], batch["targets"]
         rng = jax.random.fold_in(rng, state.step)
-        mix_rng, dropout_rng = jax.random.split(rng)
+        mix_rng, aug_rng, dropout_rng = jax.random.split(rng, 3)
+        if augment_fn is not None:
+            samples = augment_fn(aug_rng, samples)
         if mixing_fn is not None:
             samples, targets = mixing_fn(mix_rng, samples, targets, n_classes)
 
@@ -92,7 +96,8 @@ def make_train_step(
                 mutable=mutable, rngs={"dropout": dropout_rng},
             )
             prediction, new_vars = out if mutable else (out, {})
-            loss = criteria(samples, prediction, targets, training=True)
+            loss = criteria(samples, prediction, targets, training=True,
+                            epoch=epoch, iterations=state.step)
             total = loss["total_loss"] if isinstance(loss, dict) else loss
             return total.astype(jnp.float32), (loss, prediction, new_vars)
 

@@ -78,6 +78,9 @@ class Trainer:
         self.tx = build_optimizer(opts, lr_multipliers=lr_mults)
         self.scheduler = build_scheduler(opts)
         self.mixing_fn = build_mixing_fn(opts)
+        from cvnets_tpu.ops.image_ops import build_device_augmenter
+
+        self.augment_fn = build_device_augmenter(opts)
 
         # BN momentum annealing hook (reference training_engine.py:120-129)
         self.adjust_norm_mom = None
@@ -121,7 +124,7 @@ class Trainer:
         }
         self._train_step = jax.jit(
             make_train_step(model, criteria, self.tx, opts, train_metrics,
-                            mixing_fn=self.mixing_fn),
+                            mixing_fn=self.mixing_fn, augment_fn=self.augment_fn),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(make_eval_step(model, criteria, val_metrics))
@@ -144,7 +147,7 @@ class Trainer:
             lr = self.scheduler.retrieve_lr(epoch, self.train_iterations)
             sharded = shard_batch(self.mesh, batch)
             self.state, metrics = self._train_step(
-                self.state, sharded, lr, self.rng
+                self.state, sharded, lr, self.rng, epoch
             )
             bsz = int(np.asarray(batch["samples"]).shape[0])
             samples_seen += bsz

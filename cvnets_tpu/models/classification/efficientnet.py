@@ -128,3 +128,6 @@ class EfficientNet(BaseImageEncoder):
                                      dropout=self.classifier_dropout)
         conf["cls"] = {"in": cfg["last_channels"], "out": self.n_classes}
         self.model_conf_dict = conf
+        from cvnets_tpu.models.neural_augmentor.neural_aug import build_neural_augmentor
+
+        self.neural_augmentor = build_neural_augmentor(opts)

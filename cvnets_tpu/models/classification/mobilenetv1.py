@@ -79,3 +79,6 @@ class MobileNetV1(BaseImageEncoder):
                                      dropout=self.classifier_dropout)
         conf["cls"] = {"in": in_ch, "out": self.n_classes}
         self.model_conf_dict = conf
+        from cvnets_tpu.models.neural_augmentor.neural_aug import build_neural_augmentor
+
+        self.neural_augmentor = build_neural_augmentor(opts)

@@ -103,3 +103,6 @@ class MobileNetV2(BaseImageEncoder):
         )
         conf["cls"] = {"in": last_ch, "out": self.n_classes}
         self.model_conf_dict = conf
+        from cvnets_tpu.models.neural_augmentor.neural_aug import build_neural_augmentor
+
+        self.neural_augmentor = build_neural_augmentor(opts)

@@ -118,6 +118,9 @@ class MobileNetV3(BaseImageEncoder):
         )
         conf["cls"] = {"in": exp_ch, "out": self.n_classes}
         self.model_conf_dict = conf
+        from cvnets_tpu.models.neural_augmentor.neural_aug import build_neural_augmentor
+
+        self.neural_augmentor = build_neural_augmentor(opts)
 
 
 import flax.linen as nn

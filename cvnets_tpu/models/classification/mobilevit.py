@@ -129,3 +129,6 @@ class MobileViT(BaseImageEncoder):
                                      dropout=self.classifier_dropout)
         conf["cls"] = {"in": exp_ch, "out": self.n_classes}
         self.model_conf_dict = conf
+        from cvnets_tpu.models.neural_augmentor.neural_aug import build_neural_augmentor
+
+        self.neural_augmentor = build_neural_augmentor(opts)

@@ -114,3 +114,6 @@ class MobileViTv2(BaseImageEncoder):
         )
         conf["cls"] = {"in": in_ch, "out": self.n_classes}
         self.model_conf_dict = conf
+        from cvnets_tpu.models.neural_augmentor.neural_aug import build_neural_augmentor
+
+        self.neural_augmentor = build_neural_augmentor(opts)

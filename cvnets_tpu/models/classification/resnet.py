@@ -92,3 +92,6 @@ class ResNet(BaseImageEncoder):
                                      dropout=self.classifier_dropout)
         conf["cls"] = {"in": in_ch, "out": self.n_classes}
         self.model_conf_dict = conf
+        from cvnets_tpu.models.neural_augmentor.neural_aug import build_neural_augmentor
+
+        self.neural_augmentor = build_neural_augmentor(opts)
