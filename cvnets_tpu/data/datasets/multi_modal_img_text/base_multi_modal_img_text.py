@@ -1,0 +1,208 @@
+"""Image-text datasets for CLIP training (parity: reference
+data/datasets/multi_modal_img_text/base_multi_modal_img_text.py:485 + flickr.py +
+img_text_tar_dataset.py:407).
+
+``flickr``-style datasets read (image, caption) pairs from a TSV/JSONL manifest;
+captions are tokenized host-side with the registered tokenizer. The zero-shot
+variant builds per-class multi-caption token tensors from prompt templates
+(reference zero_shot/imagenet templates)."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cvnets_tpu.data.collate import COLLATE_FN_REGISTRY
+from cvnets_tpu.data.datasets import DATASET_REGISTRY
+from cvnets_tpu.data.datasets.dataset_base import BaseImageDataset
+from cvnets_tpu.data.text_tokenizer import build_tokenizer
+from cvnets_tpu.data.transforms.common import Compose
+from cvnets_tpu.data.transforms.image import (
+    RandomResizedCrop,
+    Resize,
+    ToFloatTensor,
+)
+from cvnets_tpu.utils import logger
+
+# subset of the CLIP/ImageNet prompt templates (reference
+# zero_shot/imagenet_class_names.py carries the full 80; these are the most
+# informative per the RangeAugment recipes)
+ZERO_SHOT_TEMPLATES = [
+    "a photo of a {}.",
+    "a bad photo of a {}.",
+    "a photo of many {}.",
+    "a photo of the hard to see {}.",
+    "a low resolution photo of the {}.",
+    "a rendering of a {}.",
+    "a bad photo of the {}.",
+    "a cropped photo of the {}.",
+    "a photo of a hard to see {}.",
+    "a bright photo of a {}.",
+    "a photo of a clean {}.",
+    "a photo of a dirty {}.",
+    "a dark photo of the {}.",
+    "a drawing of a {}.",
+    "a photo of my {}.",
+    "a close-up photo of a {}.",
+    "a black and white photo of the {}.",
+    "a painting of the {}.",
+    "a painting of a {}.",
+    "a pixelated photo of the {}.",
+    "a sculpture of the {}.",
+    "a bright photo of the {}.",
+    "a cropped photo of a {}.",
+    "a photo of the cool {}.",
+    "a close-up photo of the {}.",
+    "a jpeg corrupted photo of a {}.",
+    "a blurry photo of the {}.",
+    "a photo of the {}.",
+    "a good photo of the {}.",
+    "a rendering of the {}.",
+    "a photo of one {}.",
+    "a doodle of a {}.",
+    "a photo of a nice {}.",
+    "a photo of a large {}.",
+    "a photo of a small {}.",
+]
+
+
+class BaseMultiModalImgText(BaseImageDataset):
+    def __init__(self, opts, is_training: bool = True, is_evaluation: bool = False,
+                 *args, **kwargs) -> None:
+        super().__init__(opts, is_training=is_training, is_evaluation=is_evaluation,
+                         *args, **kwargs)
+        if getattr(opts, "text_tokenizer.name", None) is None:
+            setattr(opts, "text_tokenizer.name", "clip")
+        self.tokenizer = build_tokenizer(opts)
+        self.samples: List[Tuple[str, str]] = []  # (image_path, caption)
+
+    def _transforms(self, size: Tuple[int, int]):
+        if self.is_training:
+            return Compose(self.opts, [RandomResizedCrop(self.opts, size=size),
+                                       ToFloatTensor(self.opts)])
+        return Compose(self.opts, [Resize(self.opts, img_size=list(size)),
+                                   ToFloatTensor(self.opts)])
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, sample_size_and_index) -> Dict:
+        crop_h, crop_w, idx = self._parse_batch_tuple(sample_size_and_index)
+        if crop_h <= 0:
+            crop_h = crop_w = 224
+        path, caption = self.samples[idx]
+        img = self.read_image_pil(path)
+        if img is None:
+            return {
+                "samples": {
+                    "image": np.zeros((crop_h, crop_w, 3), np.float32),
+                    "text": np.asarray(self.tokenizer("")),
+                },
+                "targets": -1,
+                "sample_id": idx,
+            }
+        data = self._transforms((crop_h, crop_w))(
+            {"image": img, "crop_size": (crop_h, crop_w)})
+        return {
+            "samples": {
+                "image": np.asarray(data["image"], np.float32),
+                "text": np.asarray(self.tokenizer(caption)),
+            },
+            "targets": idx,
+            "sample_id": idx,
+        }
+
+
+@DATASET_REGISTRY.register(name="flickr", type="multi_modal_image_text")
+class FlickrDataset(BaseMultiModalImgText):
+    """Flickr30k/8k-style manifest: a ``captions.txt``/``.tsv`` (image \\t caption)
+    or jsonl with {"image": ..., "caption": ...} lines."""
+
+    def __init__(self, opts, is_training: bool = True, is_evaluation: bool = False,
+                 *args, **kwargs) -> None:
+        super().__init__(opts, is_training=is_training, is_evaluation=is_evaluation,
+                         *args, **kwargs)
+        root = self.root
+        for name in ("captions.tsv", "captions.txt", "annotations.jsonl"):
+            manifest = os.path.join(root or "", name)
+            if os.path.isfile(manifest):
+                with open(manifest) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        if name.endswith(".jsonl"):
+                            blob = json.loads(line)
+                            img, cap = blob["image"], blob["caption"]
+                        else:
+                            img, cap = line.split("\t", 1)
+                        self.samples.append((os.path.join(root, img), cap))
+                break
+
+
+@DATASET_REGISTRY.register(name="img_text_tar", type="multi_modal_image_text")
+class ImgTextTarDataset(FlickrDataset):
+    """Large-scale tar-sharded variant (reference img_text_tar_dataset.py:407);
+    here manifest-driven with per-shard lazy extraction handled by the path layer."""
+
+
+@DATASET_REGISTRY.register(name="imagenet_zero_shot", type="multi_modal_image_text")
+class ImageNetZeroShot(BaseImageDataset):
+    """Zero-shot ImageNet eval for CLIP: images from ImageFolder; per-class caption
+    token tensors from prompt templates (reference zero_shot/__init__.py:36).
+    Class names come from ``--dataset.zero-shot.class-names-file`` (one per line;
+    order must match the ImageFolder class order)."""
+
+    def __init__(self, opts, is_training: bool = False, is_evaluation: bool = True,
+                 *args, **kwargs) -> None:
+        super().__init__(opts, is_training=False, is_evaluation=True,
+                         *args, **kwargs)
+        from cvnets_tpu.data.datasets.classification.base_image_classification_dataset import (  # noqa: E501
+            BaseImageClassificationDataset,
+        )
+
+        self._inner = BaseImageClassificationDataset(
+            opts, is_training=False, is_evaluation=True)
+        if getattr(opts, "text_tokenizer.name", None) is None:
+            setattr(opts, "text_tokenizer.name", "clip")
+        self.tokenizer = build_tokenizer(opts)
+        names_file = getattr(opts, "dataset.zero_shot.class_names_file", None)
+        if names_file and os.path.isfile(names_file):
+            with open(names_file) as f:
+                self.class_names = [l.strip() for l in f if l.strip()]
+        else:
+            self.class_names = self._inner.classes
+
+    @classmethod
+    def add_arguments(cls, parser):
+        group = parser.add_argument_group(title=cls.__name__)
+        group.add_argument("--dataset.zero-shot.class-names-file", type=str,
+                           default=None)
+        group.add_argument("--dataset.zero-shot.templates", type=str, default=None)
+        return parser
+
+    def class_caption_tokens(self) -> np.ndarray:
+        """(n_classes, n_templates, context_len) token tensor for text encoding."""
+        out = []
+        for name in self.class_names:
+            out.append(np.stack([
+                self.tokenizer(t.format(name)) for t in ZERO_SHOT_TEMPLATES
+            ]))
+        return np.stack(out)
+
+    def __len__(self) -> int:
+        return len(self._inner)
+
+    def __getitem__(self, sample_size_and_index) -> Dict:
+        return self._inner[sample_size_and_index]
+
+
+@COLLATE_FN_REGISTRY.register(name="multi_modal_img_text_collate_fn")
+def multi_modal_img_text_collate_fn(batch: List[Dict], opts=None) -> Dict:
+    from cvnets_tpu.data.collate.collate_functions import default_collate_fn
+
+    return default_collate_fn(batch, opts)

@@ -1,0 +1,105 @@
+"""Base segmentation dataset (parity: reference
+data/datasets/segmentation/base_segmentation.py:328): (image, mask) pairs, train
+transforms (random short-size resize, random crop, flip), val resize; masks ride the
+transform dict as "mask"."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from cvnets_tpu.data.datasets.dataset_base import BaseImageDataset
+from cvnets_tpu.data.transforms.common import Compose
+from cvnets_tpu.data.transforms.image import (
+    RandomCrop,
+    RandomHorizontalFlip,
+    RandomShortSizeResize,
+    Resize,
+    ToFloatTensor,
+)
+
+
+class BaseImageSegmentationDataset(BaseImageDataset):
+    ignore_label = 255
+
+    def __init__(self, opts, is_training: bool = True, is_evaluation: bool = False,
+                 *args, **kwargs) -> None:
+        super().__init__(opts, is_training=is_training, is_evaluation=is_evaluation,
+                         *args, **kwargs)
+        self.images: List[str] = []
+        self.masks: List[str] = []
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        if cls != BaseImageSegmentationDataset:
+            return parser
+        group = parser.add_argument_group(title=cls.__name__)
+        group.add_argument("--evaluation.segmentation.mode", type=str,
+                           default="validation_set",
+                           choices=["single_image", "image_folder", "validation_set"])
+        group.add_argument("--evaluation.segmentation.path", type=str, default=None)
+        group.add_argument("--evaluation.segmentation.apply-color-map",
+                           action="store_true")
+        group.add_argument("--evaluation.segmentation.save-overlay-rgb-pred",
+                           action="store_true")
+        group.add_argument("--evaluation.segmentation.save-masks",
+                           action="store_true")
+        group.add_argument("--evaluation.segmentation.overlay-mask-weight",
+                           type=float, default=0.5)
+        group.add_argument("--evaluation.segmentation.resize-input-images",
+                           action="store_true")
+        return parser
+
+    def _training_transforms(self, size: Tuple[int, int]):
+        return Compose(self.opts, [
+            RandomShortSizeResize(self.opts),
+            RandomHorizontalFlip(self.opts),
+            RandomCrop(self.opts, size=size, ignore_idx=self.ignore_label),
+            ToFloatTensor(self.opts),
+        ])
+
+    def _validation_transforms(self, size: Tuple[int, int]):
+        return Compose(self.opts, [
+            Resize(self.opts, img_size=list(size)),
+            ToFloatTensor(self.opts),
+        ])
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def _load_mask(self, path: str) -> np.ndarray:
+        m = self.read_mask_pil(path)
+        return np.asarray(m, np.int32) if m is not None else None
+
+    def adjust_mask_value(self, mask: np.ndarray) -> np.ndarray:
+        return mask
+
+    def __getitem__(self, sample_size_and_index) -> Dict:
+        crop_h, crop_w, idx = self._parse_batch_tuple(sample_size_and_index)
+        if crop_h <= 0:
+            crop_h = crop_w = 512
+        img = self.read_image_pil(self.images[idx])
+        mask = self._load_mask(self.masks[idx])
+        if img is None or mask is None:
+            return {
+                "samples": np.zeros((crop_h, crop_w, 3), np.float32),
+                "targets": np.full((crop_h, crop_w), self.ignore_label, np.int32),
+                "sample_id": idx,
+            }
+        mask = self.adjust_mask_value(mask)
+        tfm = (self._training_transforms((crop_h, crop_w)) if self.is_training
+               else self._validation_transforms((crop_h, crop_w)))
+        data = tfm({"image": img, "mask": mask, "crop_size": (crop_h, crop_w)})
+        arr = np.asarray(data["image"], np.float32)
+        m = np.asarray(data["mask"], np.int32)
+        if arr.shape[:2] != (crop_h, crop_w):
+            # static-shape guarantee
+            from PIL import Image
+
+            pil = Image.fromarray((arr * 255).astype(np.uint8))
+            arr = np.asarray(pil.resize((crop_w, crop_h)), np.float32) / 255.0
+            m_pil = Image.fromarray(m.astype(np.uint8))
+            m = np.asarray(m_pil.resize((crop_w, crop_h), Image.NEAREST), np.int32)
+        return {"samples": arr, "targets": m, "sample_id": idx}

@@ -87,15 +87,18 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params}
-            mutable = []
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = model.apply(
-                variables, samples, training=True,
-                mutable=mutable, rngs={"dropout": dropout_rng},
-            )
-            prediction, new_vars = out if mutable else (out, {})
+                prediction, new_vars = model.apply(
+                    variables, samples, training=True,
+                    mutable=["batch_stats"], rngs={"dropout": dropout_rng},
+                )
+            else:
+                prediction = model.apply(
+                    variables, samples, training=True,
+                    rngs={"dropout": dropout_rng},
+                )
+                new_vars = {}
             loss = criteria(samples, prediction, targets, training=True,
                             epoch=epoch, iterations=state.step)
             total = loss["total_loss"] if isinstance(loss, dict) else loss

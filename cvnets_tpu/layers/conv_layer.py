@@ -108,13 +108,14 @@ class SeparableConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]  # infer; declared in_channels is informational
         x = ConvLayer2d(
             opts=self.opts,
-            out_channels=self.in_channels,
+            out_channels=in_ch,
             kernel_size=self.kernel_size,
             stride=self.stride,
             dilation=self.dilation,
-            groups=self.in_channels,
+            groups=in_ch,
             bias=False,
             use_norm=True,
             use_act=False,

@@ -1,0 +1,178 @@
+"""Detection/segmentation model + loss tests (config-sweep style)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _det_opts():
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.detection.name", "ssd",
+        "--model.detection.n-classes", "7",
+        "--model.classification.name", "mobilenetv2",
+        "--dataset.category", "detection",
+        "--loss.category", "detection",
+        "--loss.detection.name", "ssd_multibox_loss",
+    ])
+    setattr(opts, "anchor_generator.name", "ssd")
+    setattr(opts, "anchor_generator.ssd.output_strides", [16, 32, 64, -1])
+    setattr(opts, "anchor_generator.ssd.aspect_ratios",
+            [[2, 3], [2, 3], [2, 3], [2]])
+    setattr(opts, "matcher.name", "ssd")
+    setattr(opts, "model.detection.ssd.proj_channels", [256, 128, 128, 64])
+    return opts
+
+
+def test_ssd_forward_loss_grad():
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+
+    opts = _det_opts()
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    batch = model.dummy_input_and_label(2)
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch["samples"],
+                           training=False)
+
+    out = model.apply(variables, batch["samples"], training=False)
+    n_anchors = out["anchors"].shape[0]
+    assert out["scores"].shape == (2, n_anchors, 7)
+    assert out["boxes"].shape == (2, n_anchors, 4)
+
+    @jax.jit
+    def loss_and_grad(params):
+        def loss_fn(p):
+            v = dict(variables, params=p)
+            if "batch_stats" in variables:
+                pred, _ = model.apply(v, batch["samples"], training=True,
+                                      mutable=["batch_stats"],
+                                      rngs={"dropout": rng})
+            else:
+                pred = model.apply(v, batch["samples"], training=True,
+                                   rngs={"dropout": rng})
+            loss = criteria(batch["samples"], pred, batch["targets"], training=True)
+            return loss["total_loss"] if isinstance(loss, dict) else loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss, grads = loss_and_grad(variables["params"])
+    assert jnp.isfinite(loss)
+
+
+def test_ssd_matcher_and_decode_roundtrip():
+    import argparse
+
+    from cvnets_tpu.models.matcher_det.ssd_matcher import SSDMatcher
+    from cvnets_tpu.ops.box_utils import (
+        center_to_corner,
+        convert_locations_to_boxes,
+        corner_to_center,
+    )
+
+    opts = argparse.Namespace()
+    matcher = SSDMatcher(opts)
+    anchors = np.array([[0.25, 0.25, 0.5, 0.5], [0.75, 0.75, 0.5, 0.5]], np.float32)
+    gt = np.array([[0.1, 0.1, 0.4, 0.4]], np.float32)
+    labels = np.array([3])
+    locs, matched_labels = matcher(gt, labels, anchors)
+    assert locs.shape == (2, 4) and matched_labels.shape == (2,)
+    assert matched_labels[0] == 3  # first anchor overlaps gt
+    # decode the matched offsets back: should recover the gt box
+    decoded_ctr = convert_locations_to_boxes(locs[:1], anchors[:1])
+    decoded = center_to_corner(decoded_ctr)
+    np.testing.assert_allclose(decoded[0], gt[0], atol=1e-5)
+
+
+def test_nms_suppresses_overlaps():
+    from cvnets_tpu.ops.nms import batched_nms, nms
+
+    boxes = jnp.asarray([
+        [0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60],
+    ], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    idx, s = nms(boxes, scores, iou_threshold=0.5, max_output=3)
+    kept = [int(i) for i in idx if i >= 0]
+    assert kept == [0, 2]
+    # different classes are not suppressed in batched nms
+    classes = jnp.asarray([0, 1, 0])
+    idx2, _ = batched_nms(boxes, scores, classes, iou_threshold=0.5, max_output=3)
+    kept2 = sorted(int(i) for i in idx2 if i >= 0)
+    assert kept2 == [0, 1, 2]
+
+
+def test_coco_map_perfect_and_miss():
+    from cvnets_tpu.metrics.coco_map import compute_coco_map
+
+    gt = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40]], np.float32),
+           "labels": np.array([1, 2])}]
+    perfect = [{"boxes": gt[0]["boxes"].copy(),
+                "scores": np.array([0.9, 0.8]), "labels": np.array([1, 2])}]
+    res = compute_coco_map(perfect, gt)
+    assert res["bbox"] > 0.99
+    miss = [{"boxes": np.array([[100, 100, 110, 110]], np.float32),
+             "scores": np.array([0.9]), "labels": np.array([1])}]
+    res2 = compute_coco_map(miss, gt)
+    assert res2["bbox"] < 0.01
+
+
+@pytest.mark.parametrize("head", ["deeplabv3", "pspnet"])
+def test_segmentation_forward_loss_grad(head):
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.segmentation.name", "encoder_decoder",
+        "--model.segmentation.n-classes", "5",
+        "--model.segmentation.seg-head", head,
+        "--model.segmentation.use-aux-head",
+        "--model.classification.name", "mobilenetv2",
+        "--dataset.category", "segmentation",
+        "--loss.category", "segmentation",
+        "--loss.segmentation.name", "cross_entropy",
+    ])
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    batch = model.dummy_input_and_label(2)
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch["samples"],
+                           training=False)
+    out = model.apply(variables, batch["samples"], training=False)
+    assert out.shape == batch["samples"].shape[:3] + (5,)
+
+    @jax.jit
+    def loss_and_grad(params):
+        def loss_fn(p):
+            v = dict(variables, params=p)
+            if "batch_stats" in variables:
+                pred, _ = model.apply(v, batch["samples"], training=True,
+                                      mutable=["batch_stats"],
+                                      rngs={"dropout": rng})
+            else:
+                pred = model.apply(v, batch["samples"], training=True,
+                                   rngs={"dropout": rng})
+            loss = criteria(batch["samples"], pred, batch["targets"], training=True)
+            return loss["total_loss"] if isinstance(loss, dict) else loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    loss, grads = loss_and_grad(variables["params"])
+    assert jnp.isfinite(loss)
+
+
+def test_iou_metric_perfect():
+    import argparse
+
+    from cvnets_tpu.metrics.intersection_over_union import IoUMetric
+
+    opts = argparse.Namespace()
+    setattr(opts, "model.segmentation.n_classes", 3)
+    m = IoUMetric(opts=opts)
+    target = jnp.asarray(np.random.default_rng(0).integers(0, 3, (2, 8, 8)))
+    logits = jax.nn.one_hot(target, 3) * 10.0
+    m.update_values(jax.device_get(m.batch_values(logits, target)))
+    assert abs(m.compute() - 100.0) < 1e-5

@@ -47,10 +47,13 @@ def test_classification_model_forward_loss_grad(model_name, batch_size):
     def loss_and_grad(params):
         def loss_fn(p):
             v = dict(variables, params=p)
-            mutable = ["batch_stats"] if "batch_stats" in variables else []
-            out = model.apply(v, batch["samples"], training=True,
-                              mutable=mutable, rngs={"dropout": rng})
-            pred = out[0] if mutable else out
+            if "batch_stats" in variables:
+                pred, _ = model.apply(v, batch["samples"], training=True,
+                                      mutable=["batch_stats"],
+                                      rngs={"dropout": rng})
+            else:
+                pred = model.apply(v, batch["samples"], training=True,
+                                   rngs={"dropout": rng})
             loss = criteria(batch["samples"], pred, batch["targets"], training=True)
             return loss["total_loss"] if isinstance(loss, dict) else loss
         return jax.value_and_grad(loss_fn)(params)
