@@ -17,8 +17,8 @@ import numpy as np
 
 BATCH = 128
 IMG = 256
-WARMUP = 3
-ITERS = 10
+WARMUP = 5
+ITERS = 30
 
 # per-chip peak dense bf16 FLOPs/sec
 PEAK_FLOPS = {
@@ -56,9 +56,19 @@ def main() -> None:
     n_chips = len(mesh.devices.flatten())
 
     metrics = Statistics(opts, ["loss"]).metrics
-    step = jax.jit(
-        make_train_step(model, criteria, tx, opts, metrics), donate_argnums=(0,)
-    )
+    step_fn = make_train_step(model, criteria, tx, opts, metrics)
+
+    # scan SCAN_STEPS train steps inside one program: measures pure device
+    # throughput without per-call host dispatch over slow links
+    SCAN_STEPS = 8
+
+    def multi_step(state, batch, lr, rng):
+        def body(s, _):
+            s, m = step_fn(s, batch, lr, rng)
+            return s, m["loss"]["loss"][0]
+        return jax.lax.scan(body, state, None, length=SCAN_STEPS)
+
+    step = jax.jit(multi_step, donate_argnums=(0,))
 
     batch_np = {
         "samples": np.random.default_rng(0)
@@ -73,21 +83,24 @@ def main() -> None:
         lowered = step.lower(state, batch, 2e-3, rng)
         cost = lowered.compile().cost_analysis()
         if cost and "flops" in cost:
-            flops_per_step = float(cost["flops"])
+            flops_per_step = float(cost["flops"]) / SCAN_STEPS
     except Exception:
         pass
 
-    for _ in range(WARMUP):
+    for _ in range(2):
         state, m = step(state, batch, 2e-3, rng)
-    jax.block_until_ready(m)
+    # block on the FULL updated state: blocking only on the small metrics output
+    # under-measures (the runtime can surface it before params materialize)
+    jax.block_until_ready(state)
 
+    n_calls = max(1, ITERS // SCAN_STEPS)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(n_calls):
         state, m = step(state, batch, 2e-3, rng)
-    jax.block_until_ready(m)
+    jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = BATCH * n_chips * ITERS / dt
+    imgs_per_sec = BATCH * n_chips * SCAN_STEPS * n_calls / dt
     imgs_per_sec_chip = imgs_per_sec / n_chips
 
     dev_kind = jax.devices()[0].device_kind

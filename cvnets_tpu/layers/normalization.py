@@ -51,21 +51,28 @@ def get_normalization_layer(
     flax_momentum = 1.0 - torch_momentum
     norm_type = (norm_type or "batch_norm").lower()
 
-    if norm_type in ("batch_norm", "batch_norm_2d", "batch_norm_1d", "batch_norm_3d"):
-        return nn.BatchNorm(momentum=flax_momentum, epsilon=1e-5, use_running_average=None)
-    if norm_type == "sync_batch_norm":
-        return nn.BatchNorm(
-            momentum=flax_momentum, epsilon=1e-5, use_running_average=None,
-            axis_name=SYNC_BN_AXIS_NAME,
-        )
+    # keep the activation dtype (bf16 under mixed precision) through norms so convs
+    # don't upcast at every boundary; flax computes BN/LN statistics in f32
+    # internally regardless of `dtype`
+    from cvnets_tpu.layers.dtype_utils import compute_dtype
+
+    dt = compute_dtype(opts)
+
+    # sync_batch_norm: under GSPMD jit the batch axis is sharded but the program
+    # is single-logical — plain BN statistics are computed over the GLOBAL batch
+    # (XLA inserts the cross-device reductions), i.e. BN is already synchronous.
+    # axis_name-based pmean (the shard_map/pmap route) is unnecessary and would
+    # fail under jit with "unbound axis name".
+    if norm_type in ("batch_norm", "batch_norm_2d", "batch_norm_1d", "batch_norm_3d",
+                     "sync_batch_norm"):
+        return nn.BatchNorm(momentum=flax_momentum, epsilon=1e-5,
+                            use_running_average=None, dtype=dt)
     if norm_type == "sync_batch_norm_fp32":
-        return nn.BatchNorm(
-            momentum=flax_momentum, epsilon=1e-5, use_running_average=None,
-            axis_name=SYNC_BN_AXIS_NAME, dtype=jnp.float32,
-        )
+        return nn.BatchNorm(momentum=flax_momentum, epsilon=1e-5,
+                            use_running_average=None, dtype=jnp.float32)
     if norm_type in ("layer_norm", "layer_norm_2d"):
         # layer_norm_2d normalizes NCHW channels; identical to trailing-axis LN in NHWC
-        return nn.LayerNorm(epsilon=1e-5)
+        return nn.LayerNorm(epsilon=1e-5, dtype=dt)
     if norm_type == "layer_norm_fp32":
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
     if norm_type == "group_norm":

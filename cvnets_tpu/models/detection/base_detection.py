@@ -30,6 +30,15 @@ class BaseDetection(BaseAnyNNModel):
                            action="store_true", default=False)
         group.add_argument("--model.detection.freeze-batch-norm",
                            action="store_true", default=False)
+        group.add_argument("--evaluation.detection.mode", type=str,
+                           default="validation_set",
+                           choices=["single_image", "image_folder",
+                                    "validation_set"])
+        group.add_argument("--evaluation.detection.path", type=str, default=None)
+        group.add_argument("--evaluation.detection.num-classes-in-dataset",
+                           type=int, default=None)
+        group.add_argument("--evaluation.detection.save-overlay-boxes",
+                           action="store_true")
         return parser
 
     @staticmethod

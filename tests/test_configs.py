@@ -1,0 +1,63 @@
+"""Config-sweep test: every yaml in config/ builds its model + loss and runs a
+forward/backward on dummy input (the reference's workhorse test strategy,
+reference tests/test_model.py:122-127). Opt-out: '# pytest: disable' first line."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+CONFIG_ROOT = os.path.join(os.path.dirname(__file__), "..", "config")
+
+
+def _configs():
+    out = []
+    for path in sorted(glob.glob(os.path.join(CONFIG_ROOT, "**", "*.yaml"),
+                                 recursive=True)):
+        with open(path) as f:
+            first = f.readline()
+        if "pytest: disable" in first:
+            continue
+        out.append(os.path.relpath(path, os.path.dirname(CONFIG_ROOT)))
+    return out
+
+
+@pytest.mark.parametrize("config_rel", _configs())
+def test_config_builds_and_steps(config_rel):
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    config_path = os.path.join(os.path.dirname(CONFIG_ROOT), config_rel)
+    opts = get_training_arguments(args=["--common.config-file", config_path])
+    # shrink for CPU tests
+    setattr(opts, "model.classification.n_classes", 7)
+    if getattr(opts, "dataset.category") == "detection":
+        setattr(opts, "model.detection.n_classes", 7)
+    if getattr(opts, "dataset.category") == "segmentation":
+        setattr(opts, "model.segmentation.n_classes", 7)
+        setattr(opts, "model.segmentation.output_stride", None)
+
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    batch = model.dummy_input_and_label(2)
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch["samples"],
+                           training=False)
+
+    def loss_fn(p):
+        v = dict(variables, params=p)
+        if "batch_stats" in variables:
+            pred, _ = model.apply(v, batch["samples"], training=True,
+                                  mutable=["batch_stats"], rngs={"dropout": rng})
+        else:
+            pred = model.apply(v, batch["samples"], training=True,
+                               rngs={"dropout": rng})
+        loss = criteria(batch["samples"], pred, batch["targets"], training=True)
+        return loss["total_loss"] if isinstance(loss, dict) else loss
+
+    loss, _grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+    assert jnp.isfinite(loss), f"{config_rel}: non-finite loss"
