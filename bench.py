@@ -20,13 +20,20 @@ IMG = 256
 WARMUP = 5
 ITERS = 30
 
-# per-chip peak dense bf16 FLOPs/sec
+# per-chip peak dense bf16 FLOPs/sec and HBM bandwidth (bytes/sec)
 PEAK_FLOPS = {
     "TPU v5 lite": 197e12,  # v5e
     "TPU v5e": 197e12,
     "TPU v4": 275e12,
     "TPU v6 lite": 918e12,
     "cpu": 1e11,
+}
+PEAK_BW = {
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v4": 1228e9,
+    "TPU v6 lite": 1640e9,
+    "cpu": 5e10,
 }
 
 
@@ -77,46 +84,55 @@ def main() -> None:
     }
     batch = shard_batch(mesh, batch_np)
 
-    # cost analysis for roofline
-    flops_per_step = None
+    # cost analysis for roofline (whole scanned program / SCAN_STEPS)
+    flops_per_step = bytes_per_step = None
     try:
         lowered = step.lower(state, batch, 2e-3, rng)
         cost = lowered.compile().cost_analysis()
         if cost and "flops" in cost:
             flops_per_step = float(cost["flops"]) / SCAN_STEPS
+        if cost and "bytes accessed" in cost:
+            bytes_per_step = float(cost["bytes accessed"]) / SCAN_STEPS
     except Exception:
         pass
 
-    for _ in range(2):
-        state, m = step(state, batch, 2e-3, rng)
-    # block on the FULL updated state: blocking only on the small metrics output
-    # under-measures (the runtime can surface it before params materialize)
-    jax.block_until_ready(state)
+    state, m = step(state, batch, 2e-3, rng)
+    # force a VALUE readback: block_until_ready can be acknowledged optimistically
+    # by remote runtimes; converting a loss to a python float cannot
+    float(np.asarray(jax.device_get(m)).ravel()[-1])
 
     n_calls = max(1, ITERS // SCAN_STEPS)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, m = step(state, batch, 2e-3, rng)
-    jax.block_until_ready(state)
+    float(np.asarray(jax.device_get(m)).ravel()[-1])
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * n_chips * SCAN_STEPS * n_calls / dt
     imgs_per_sec_chip = imgs_per_sec / n_chips
 
     dev_kind = jax.devices()[0].device_kind
-    peak = None
-    for key, val in PEAK_FLOPS.items():
+    peak = peak_bw = None
+    for key in PEAK_FLOPS:
         if key.lower() in dev_kind.lower() or dev_kind.lower() in key.lower():
-            peak = val
+            peak = PEAK_FLOPS[key]
+            peak_bw = PEAK_BW[key]
             break
     if peak is None:
-        peak = 197e12 if jax.default_backend() == "tpu" else 1e11
+        on_tpu = jax.default_backend() == "tpu"
+        peak = 197e12 if on_tpu else 1e11
+        peak_bw = 819e9 if on_tpu else 5e10
 
+    # roofline: a step can go no faster than max(compute, memory) lower bound.
+    # MobileViTv2's depthwise convs make the train step memory-bound on v5e,
+    # so the binding roof is HBM bandwidth, not MXU flops.
     vs_baseline = 0.0
     if flops_per_step:
-        flops_per_image = flops_per_step / (BATCH * n_chips)
-        roofline_imgs = peak / flops_per_image
-        vs_baseline = imgs_per_sec_chip / roofline_imgs
+        lb_time = flops_per_step / peak
+        if bytes_per_step:
+            lb_time = max(lb_time, bytes_per_step / peak_bw)
+        step_time = dt / (SCAN_STEPS * n_calls)
+        vs_baseline = lb_time / step_time
 
     print(json.dumps({
         "metric": "mobilevit_v2_1.0_train_images_per_sec_per_chip",

@@ -74,6 +74,7 @@ def make_train_step(
     ema_enabled = getattr(opts, "ema.enable", False)
     ema_momentum = getattr(opts, "ema.momentum", 0.0001)
     n_classes = getattr(opts, "model.classification.n_classes", None)
+    accum_freq = max(1, getattr(opts, "common.accum_freq", 1) or 1)
 
     def train_step(state: TrainState, batch: Dict, lr: jnp.ndarray, rng,
                    epoch: jnp.ndarray = 0) -> Tuple:
@@ -104,9 +105,42 @@ def make_train_step(
             total = loss["total_loss"] if isinstance(loss, dict) else loss
             return total.astype(jnp.float32), (loss, prediction, new_vars)
 
-        (total_loss, (loss, prediction, new_vars)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        if accum_freq > 1:
+            # gradient accumulation (reference --common.accum-freq): unrolled
+            # microbatch loop, averaged grads, one optimizer step per call
+            def loss_micro(params, mb_samples, mb_targets):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    pred, nv = model.apply(
+                        variables, mb_samples, training=True,
+                        mutable=["batch_stats"], rngs={"dropout": dropout_rng},
+                    )
+                else:
+                    pred = model.apply(variables, mb_samples, training=True,
+                                       rngs={"dropout": dropout_rng})
+                    nv = {}
+                ls = criteria(mb_samples, pred, mb_targets, training=True,
+                              epoch=epoch, iterations=state.step)
+                tot = ls["total_loss"] if isinstance(ls, dict) else ls
+                return tot.astype(jnp.float32), (ls, pred, nv)
+
+            mbs = samples.shape[0] // accum_freq if hasattr(samples, "shape") else None
+            grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            loss = prediction = new_vars = None
+            for i in range(accum_freq):
+                sl = lambda x: x[i * (x.shape[0] // accum_freq):
+                                 (i + 1) * (x.shape[0] // accum_freq)]
+                mb_s = jax.tree_util.tree_map(sl, samples)
+                mb_t = jax.tree_util.tree_map(sl, targets)
+                (_tl, (loss, prediction, new_vars)), g = jax.value_and_grad(
+                    loss_micro, has_aux=True)(state.params, mb_s, mb_t)
+                grads = jax.tree_util.tree_map(jnp.add, grads, g)
+            grads = jax.tree_util.tree_map(lambda g: g / accum_freq, grads)
+        else:
+            (total_loss, (loss, prediction, new_vars)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
 
         grad_norm = global_grad_norm(grads)
         if grad_clip is not None and grad_clip > 0:

@@ -54,13 +54,23 @@ class LinearSelfAttention(nn.Module):
             value = nn.Dense(d, use_bias=self.bias, kernel_init=init, dtype=dt,
                              name="v_proj")(x)
 
-        # softmax over token axis N (axis=-2 in B,P,N,C layout)
-        scores = nn.softmax(query.astype(jnp.float32), axis=-2).astype(x.dtype)
-        if self.attn_dropout > 0:
-            scores = nn.Dropout(rate=self.attn_dropout,
-                                deterministic=not training)(scores)
-        # context vector: weighted sum of keys over tokens -> (B, P, 1, C)
-        context = jnp.sum(key * scores, axis=-2, keepdims=True)
-        out = nn.relu(value) * context
+        use_pallas = getattr(self.opts, "model.enable_pallas_kernels", True) \
+            and self.attn_dropout == 0.0
+        if use_pallas:
+            # fused Pallas kernel: softmax→context→relu·context in one VMEM pass
+            from cvnets_tpu.ops.pallas.mobilevit_attn import (
+                separable_attention_bphw,
+            )
+
+            out = separable_attention_bphw(query, key, value)
+        else:
+            # softmax over token axis N (axis=-2 in B,P,N,C layout)
+            scores = nn.softmax(query.astype(jnp.float32), axis=-2).astype(x.dtype)
+            if self.attn_dropout > 0:
+                scores = nn.Dropout(rate=self.attn_dropout,
+                                    deterministic=not training)(scores)
+            # context vector: weighted sum of keys over tokens -> (B, P, 1, C)
+            context = jnp.sum(key * scores, axis=-2, keepdims=True)
+            out = nn.relu(value) * context
         out = nn.Dense(d, use_bias=self.bias, kernel_init=init, dtype=dt, name="out_proj")(out)
         return out
