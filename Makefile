@@ -1,0 +1,19 @@
+# Developer targets (parity: reference Makefile test-all/format contract)
+
+.PHONY: test test-all test-fast bench graft-dryrun
+
+test:
+	python -m pytest tests/ -x -q
+
+test-all:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/test_registry.py tests/test_options.py \
+		tests/test_image_ops.py tests/test_pallas_kernels.py -q
+
+bench:
+	python bench.py
+
+graft-dryrun:
+	python __graft_entry__.py

@@ -91,8 +91,14 @@ def main() -> None:
         cost = lowered.compile().cost_analysis()
         if cost and "flops" in cost:
             flops_per_step = float(cost["flops"]) / SCAN_STEPS
-        if cost and "bytes accessed" in cost:
-            bytes_per_step = float(cost["bytes accessed"]) / SCAN_STEPS
+        if cost:
+            if "bytes accessed" in cost:
+                bytes_per_step = float(cost["bytes accessed"]) / SCAN_STEPS
+            else:
+                # some jax versions report per-operand keys only
+                total = sum(v for k, v in cost.items()
+                            if k.startswith("bytes accessed"))
+                bytes_per_step = (total / SCAN_STEPS) if total else None
     except Exception:
         pass
 

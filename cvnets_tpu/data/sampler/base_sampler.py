@@ -90,9 +90,12 @@ class BaseSampler:
         """Hook for sample-efficient training (reference CVNetsDataLoader)."""
 
     # ---------------------------------------------------------------- indices
+    img_indices: Optional[List[int]] = None  # set by update_indices (sample-eff.)
+
     def get_indices(self) -> List[int]:
         """Shuffled (by epoch-seeded RNG), repeated, padded global index list."""
-        img_indices = list(range(self.n_data_samples))
+        img_indices = (list(self.img_indices) if self.img_indices is not None
+                       else list(range(self.n_data_samples)))
         rng = random.Random(self.seed + self.epoch)
         if self.shuffle:
             rng.shuffle(img_indices)

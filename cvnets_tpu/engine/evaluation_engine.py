@@ -55,15 +55,52 @@ class Evaluator:
             sharded = shard_batch(self.mesh, batch)
             metrics = self._eval_step(self.state, sharded)
             self.stats.update(precomputed=jax.device_get(metrics),
-                              batch_size=int(np.asarray(batch["samples"]).shape[0]))
+                              batch_size=int(np.asarray(jax.tree_util.tree_leaves(batch["samples"])[0]).shape[0]))
         if self.is_master_node:
             self.stats.epoch_summary(0, stage=getattr(
                 self.opts, "common.eval_stage_name", "evaluation"))
             logger.info(f"Evaluation took {time.time() - start:.2f} seconds")
         return self.stats.avg_statistics_all()
 
+    def eval_fn_video(self) -> Dict[str, float]:
+        """Multi-clip voting eval (reference evaluation_engine.py:115-180):
+        [B, clips] forward → vote sum/max over clips."""
+        import jax.numpy as jnp
+
+        voting = getattr(self.opts,
+                         "model.video_classification.clip_out_voting_fn", "sum")
+
+        @jax.jit
+        def clip_logits(state, samples):
+            b, n_clips = samples.shape[:2]
+            folded = samples.reshape((b * n_clips,) + samples.shape[2:])
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            logits = self.model.apply(variables, folded, training=False)
+            logits = logits.reshape(b, n_clips, -1)
+            if voting == "max":
+                return jnp.max(logits, axis=1)
+            return jnp.sum(logits, axis=1)
+
+        for batch in self.test_loader:
+            samples = jnp.asarray(np.asarray(batch["samples"]))
+            logits = clip_logits(self.state, samples)
+            targets = jnp.asarray(np.asarray(batch["targets"]))
+            precomputed = {}
+            for name, metric in self.stats.metrics.items():
+                bv = getattr(metric, "batch_values", None)
+                if bv is not None:
+                    precomputed[name] = jax.device_get(
+                        bv(logits, targets, {"loss": 0.0}))
+            self.stats.update(precomputed=precomputed,
+                              batch_size=int(samples.shape[0]))
+        if self.is_master_node:
+            self.stats.epoch_summary(0, stage="evaluation (video)")
+        return self.stats.avg_statistics_all()
+
     def run(self) -> Dict[str, float]:
         modality = getattr(self.opts, "common.inference_modality", "image")
         if modality == "video":
-            raise NotImplementedError("video eval arrives with the video pipeline")
+            return self.eval_fn_video()
         return self.eval_fn_image()

@@ -68,6 +68,18 @@ class Trainer:
         self.ema_enabled = getattr(opts, "ema.enable", False)
         self.ema_copy_at_epoch = getattr(opts, "ema.copy_at_epoch", -1)
 
+        # sample-efficient training (reference training_engine.py:131-156, 458-570)
+        self.set_enabled = getattr(opts, "common.sample_efficient_training.enable",
+                                   False)
+        self.set_confidence = getattr(
+            opts, "common.sample_efficient_training.sample_confidence", 0.5)
+        self.set_every_k = getattr(
+            opts, "common.sample_efficient_training.find_easy_samples_every_k_epochs",
+            5)
+        self.set_min_epochs = getattr(
+            opts, "common.sample_efficient_training.min_sample_frequency", 5)
+        self._easy_counts: Dict[int, int] = {}
+
         self.train_metric_names = getattr(opts, "stats.train", ["loss"])
         self.val_metric_names = getattr(opts, "stats.val", ["loss"])
         self.ckpt_metric_name = getattr(opts, "stats.checkpoint_metric", "loss")
@@ -149,7 +161,8 @@ class Trainer:
             self.state, metrics = self._train_step(
                 self.state, sharded, lr, self.rng, epoch
             )
-            bsz = int(np.asarray(batch["samples"]).shape[0])
+            first_leaf = jax.tree_util.tree_leaves(batch["samples"])[0]
+            bsz = int(np.asarray(first_leaf).shape[0])
             samples_seen += bsz
             self.train_iterations += 1
 
@@ -178,12 +191,64 @@ class Trainer:
         for batch in self.val_loader:
             sharded = shard_batch(self.mesh, batch)
             metrics = step(self.state, sharded)
-            bsz = int(np.asarray(batch["samples"]).shape[0])
+            bsz = int(np.asarray(jax.tree_util.tree_leaves(batch["samples"])[0]).shape[0])
             stats.update(precomputed=jax.device_get(metrics), batch_size=bsz)
         stage = "validation (EMA)" if use_ema else "validation"
         stats.epoch_summary(epoch, stage=stage)
         self._val_stats = stats
         return stats.avg_statistics_all()
+
+    # ---------------------------------------------- sample-efficient training
+    def find_easy_samples(self, epoch: int) -> None:
+        """Drop samples the model classifies confidently-correct (reference
+        training_engine.py:458-570): a pass over the train set computes per-sample
+        true-class probability on device; persistently-easy sample ids are removed
+        from the sampler's index list."""
+        model = self.model
+
+        @jax.jit
+        def true_class_prob(state, samples, targets):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            logits = model.apply(variables, samples, training=False)
+            if isinstance(logits, dict):
+                logits = logits.get("logits", next(iter(logits.values())))
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            p_true = jnp.take_along_axis(
+                probs, jnp.maximum(targets, 0)[:, None], axis=1)[:, 0]
+            correct = jnp.argmax(logits, axis=-1) == targets
+            return p_true, correct
+
+        import jax.numpy as jnp
+
+        easy_now = set()
+        for batch in self.train_loader:
+            if "sample_id" not in batch:
+                return
+            p, c = true_class_prob(
+                self.state, jnp.asarray(np.asarray(batch["samples"])),
+                jnp.asarray(np.asarray(batch["targets"])))
+            p, c = np.asarray(p), np.asarray(c)
+            for sid, pi, ci in zip(np.asarray(batch["sample_id"]), p, c):
+                if ci and pi >= self.set_confidence:
+                    easy_now.add(int(sid))
+        for sid in easy_now:
+            self._easy_counts[sid] = self._easy_counts.get(sid, 0) + 1
+        skip = {s for s, n in self._easy_counts.items() if n >= 2}
+        if not skip:
+            return
+        current = self.train_loader.batch_sampler.img_indices
+        all_ids = set(current) if current is not None else set(
+            range(self.train_loader.batch_sampler.n_data_samples))
+        keep = sorted(all_ids - skip)
+        if len(keep) < max(16, len(all_ids) // 10):
+            return  # never drop (almost) everything
+        self.train_loader.update_indices(keep)
+        if self.is_master_node:
+            logger.info(
+                f"Sample-efficient training: skipping {len(skip)} easy samples"
+                f" from epoch {epoch + 1} ({len(keep)} remain)")
 
     # -------------------------------------------------------------------- run
     def run(self, train_sampler=None) -> None:
@@ -196,6 +261,9 @@ class Trainer:
                 train_sampler.update_scales(epoch, is_master_node=self.is_master_node)
 
             train_stats = self.train_epoch(epoch)
+            if (self.set_enabled and epoch >= self.set_min_epochs
+                    and (epoch + 1) % self.set_every_k == 0):
+                self.find_easy_samples(epoch)
             if self.is_master_node and train_stats:
                 summary = " || ".join(f"{k}: {v:.4f}" for k, v in train_stats.items())
                 logger.log(f"*** Training summary for epoch {epoch}: {summary}")

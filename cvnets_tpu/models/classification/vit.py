@@ -137,3 +137,18 @@ class VisionTransformer(BaseImageEncoder):
         _logits, image_embedding = self(x, training=training,
                                         return_image_embeddings=True)
         return {"out_l5": image_embedding}
+
+    def get_lr_multipliers(self, opts) -> Dict[str, float]:
+        """Layer-wise LR decay: rate ** (n_layers - i) per transformer block
+        (reference base_image_encoder.py:303 + vit.py layer_wise hooks)."""
+        if not getattr(opts, "model.classification.enable_layer_wise_lr_decay",
+                       False):
+            return {}
+        rate = getattr(opts, "model.classification.layer_wise_lr_decay_rate", 1.0)
+        if rate == 1.0:
+            return {}
+        n_layers = self._config()["n_transformer_layers"]
+        mults = {r"patch_emb|pos_embed|cls_token": rate ** (n_layers + 1)}
+        for i in range(n_layers):
+            mults[rf"transformer_{i}/"] = rate ** (n_layers - i)
+        return mults

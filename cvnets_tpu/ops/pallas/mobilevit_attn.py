@@ -43,8 +43,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref):
 
 def _pallas_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     bp, n, c = k.shape
+    elt = jnp.dtype(v.dtype).itemsize
+    cost = pl.CostEstimate(
+        flops=bp * n * c * 4,  # mul+add for context, relu+mul for output
+        bytes_accessed=bp * (n * 1 + 3 * n * c) * elt,
+        transcendentals=bp * n,  # exp in softmax
+    )
     return pl.pallas_call(
         _attn_kernel,
+        cost_estimate=cost,
         grid=(bp,),
         in_specs=[
             pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),

@@ -155,6 +155,31 @@ def build_optimizer(
         )
     factory = OPTIM_REGISTRY[optim_name].make(opts, wd, mask_fn)
 
+    # frozen scopes get zeroed updates (reference freeze_modules_based_on_opts,
+    # cvnets/misc/common.py:213 — requires_grad=False analog)
+    freeze = getattr(opts, "model.freeze_modules", "") or ""
+    freeze_patterns = [p.strip() for p in freeze.split(",") if p.strip()]
+    if freeze_patterns:
+        import re as _re
+
+        base_factory_frozen = factory
+        rxs = [_re.compile(p) for p in freeze_patterns]
+
+        def _freeze_mask(params):
+            def walk(node, path):
+                if isinstance(node, dict):
+                    return {k: walk(v, f"{path}/{k}" if path else k)
+                            for k, v in node.items()}
+                return any(rx.search(path) for rx in rxs)
+
+            return walk(params, "")
+
+        def factory(learning_rate):
+            return optax.chain(
+                base_factory_frozen(learning_rate),
+                optax.masked(optax.set_to_zero(), _freeze_mask),
+            )
+
     if lr_multipliers:
         import re
 

@@ -117,6 +117,7 @@ def get_training_arguments(
     from cvnets_tpu.data.sampler import add_sampler_arguments
     from cvnets_tpu.data.text_tokenizer import arguments_tokenizer
     from cvnets_tpu.data.transforms import arguments_augmentation
+    from cvnets_tpu.data.video_reader import arguments_video_reader
     from cvnets_tpu.loss import add_loss_fn_arguments
     from cvnets_tpu.metrics import METRICS_REGISTRY, arguments_stats
     from cvnets_tpu.models import modeling_arguments
@@ -129,6 +130,7 @@ def get_training_arguments(
     parser = add_sampler_arguments(parser)
     parser = arguments_collate_fn(parser)
     parser = arguments_augmentation(parser)
+    parser = arguments_video_reader(parser)
     parser = add_loss_fn_arguments(parser)
     parser = arguments_optimizer(parser)
     parser = arguments_scheduler(parser)
