@@ -84,21 +84,16 @@ def main() -> None:
     }
     batch = shard_batch(mesh, batch_np)
 
-    # cost analysis for roofline (whole scanned program / SCAN_STEPS)
+    # cost analysis for roofline. NOTE: XLA counts a while/scan BODY once, so the
+    # reported numbers already correspond to ONE train step.
     flops_per_step = bytes_per_step = None
     try:
         lowered = step.lower(state, batch, 2e-3, rng)
         cost = lowered.compile().cost_analysis()
         if cost and "flops" in cost:
-            flops_per_step = float(cost["flops"]) / SCAN_STEPS
-        if cost:
-            if "bytes accessed" in cost:
-                bytes_per_step = float(cost["bytes accessed"]) / SCAN_STEPS
-            else:
-                # some jax versions report per-operand keys only
-                total = sum(v for k, v in cost.items()
-                            if k.startswith("bytes accessed"))
-                bytes_per_step = (total / SCAN_STEPS) if total else None
+            flops_per_step = float(cost["flops"])
+        if cost and "bytes accessed" in cost:
+            bytes_per_step = float(cost["bytes accessed"])
     except Exception:
         pass
 

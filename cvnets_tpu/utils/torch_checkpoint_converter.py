@@ -58,9 +58,11 @@ def _convert_weight(name: str, w: np.ndarray, target_shape: Tuple[int, ...]
 
 
 def _flatten(tree: Any, prefix: str = "") -> List[Tuple[str, np.ndarray]]:
+    # preserve insertion order: flax params dicts are ordered by module creation,
+    # which tracks definition order like torch's state_dict
     out = []
     if isinstance(tree, dict):
-        for k in sorted(tree.keys()):
+        for k in tree.keys():
             out.extend(_flatten(tree[k], f"{prefix}/{k}" if prefix else k))
     else:
         out.append((prefix, tree))
@@ -113,20 +115,41 @@ def convert_torch_checkpoint(
     t_means = [(k, v) for k, v in state_dict.items() if k.endswith("running_mean")]
     t_vars = [(k, v) for k, v in state_dict.items() if k.endswith("running_var")]
 
+    def flax_role(name: str) -> str:
+        leaf = name.rsplit("/", 1)[-1]
+        if leaf in ("kernel", "weight", "scale", "pos_embed", "proj",
+                    "cls_token", "token_embedding", "projection"):
+            return "weight"
+        if leaf in ("bias",):
+            return "bias"
+        return "other"
+
+    def torch_role(name: str) -> str:
+        if name.endswith(".weight") or name.endswith("weight"):
+            return "weight"
+        if name.endswith(".bias") or name.endswith("bias"):
+            return "bias"
+        return "other"
+
     f_params = _flatten(params)
     new_flat: Dict[str, np.ndarray] = {}
     unmatched: List[str] = []
+    used = [False] * len(t_params)
 
-    ti = 0
     for fname, fleaf in f_params:
         target_shape = tuple(np.asarray(fleaf).shape)
+        role = flax_role(fname)
         found = None
-        # scan forward a small window for a shape-compatible torch tensor
-        for look in range(ti, min(ti + 8, len(t_params))):
-            cand = _convert_weight(t_params[look][0], t_params[look][1], target_shape)
+        for look, (tname, tval) in enumerate(t_params):
+            if used[look]:
+                continue
+            t_role = torch_role(tname)
+            if role != "other" and t_role != "other" and role != t_role:
+                continue
+            cand = _convert_weight(tname, tval, target_shape)
             if cand is not None:
                 found = cand
-                ti = look + 1
+                used[look] = True
                 break
         if found is None:
             unmatched.append(f"flax:{fname} shape={target_shape}")

@@ -1,0 +1,77 @@
+"""torch → flax checkpoint converter tests (torch CPU is available in the env)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def test_convert_small_conv_bn_linear(tmp_path):
+    import jax
+    import torch.nn as nn
+
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.utils.torch_checkpoint_converter import (
+        convert_torch_checkpoint,
+        load_torch_state_dict,
+    )
+
+    # a torch module mirroring ConvLayer2d(conv+bn) + Dense
+    tmodel = nn.Sequential(
+        nn.Conv2d(3, 8, 3, stride=2, padding=1, bias=False),
+        nn.BatchNorm2d(8),
+        nn.Linear(8, 4),
+    )
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.normal_()
+        tmodel[1].running_mean.normal_()
+        tmodel[1].running_var.uniform_(0.5, 1.5)
+    pt_path = tmp_path / "ckpt.pt"
+    torch.save(tmodel.state_dict(), pt_path)
+
+    # matching flax params
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    class FModel(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, training=False):
+            x = fnn.Conv(8, (3, 3), strides=(2, 2), use_bias=False,
+                         padding=((1, 1), (1, 1)), name="conv")(x)
+            x = fnn.BatchNorm(use_running_average=True, name="norm")(x)
+            x = x.mean(axis=(1, 2))
+            return fnn.Dense(4, name="fc")(x)
+
+    fm = FModel()
+    variables = fm.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 3)))
+
+    sd = load_torch_state_dict(str(pt_path))
+    new_params, new_bs, unmatched = convert_torch_checkpoint(
+        sd, variables["params"], variables["batch_stats"]
+    )
+    assert not unmatched, unmatched
+
+    # conv kernel transposed OIHW->HWIO
+    np.testing.assert_allclose(
+        np.asarray(new_params["conv"]["kernel"]),
+        sd["0.weight"].transpose(2, 3, 1, 0), atol=1e-6)
+    # linear transposed
+    np.testing.assert_allclose(
+        np.asarray(new_params["fc"]["kernel"]), sd["2.weight"].T, atol=1e-6)
+    # bn stats mapped
+    np.testing.assert_allclose(
+        np.asarray(new_bs["norm"]["mean"]), sd["1.running_mean"], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_bs["norm"]["var"]), sd["1.running_var"], atol=1e-6)
+
+    # numerically: same forward as torch
+    x = np.random.default_rng(0).standard_normal((2, 8, 8, 3)).astype(np.float32)
+    f_out = fm.apply({"params": new_params, "batch_stats": new_bs},
+                     jnp.asarray(x))
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        tmodel.eval()
+        t1 = tmodel[1](tmodel[0](t))
+        t_out = tmodel[2](t1.mean(dim=(2, 3)))
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-4)
