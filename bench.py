@@ -3,9 +3,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-``vs_baseline`` is measured throughput / roofline throughput, where roofline =
-chip peak bf16 FLOPs ÷ per-image train FLOPs (XLA cost analysis). The BASELINE.json
-north star is ≥0.9 of roofline for this model on v5e.
+``vs_baseline`` = roofline_lower_bound_time / measured_step_time, where the lower
+bound is max(flops/peak_flops, bytes/peak_bw) from XLA cost analysis. The
+MobileViTv2 train step is HBM-bandwidth-bound on v5e (depthwise convs have low
+arithmetic intensity), so the binding roof is bandwidth. Values near (or slightly
+above) 1.0 mean the step runs at the memory roofline — XLA's bytes-accessed count
+slightly overestimates true HBM traffic where accesses stay in VMEM. The
+BASELINE.json north star is ≥0.9 of roofline for this model on v5e.
 """
 
 from __future__ import annotations

@@ -110,6 +110,14 @@ class Trainer:
                                         ema_enabled=self.ema_enabled)
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
         self.rng = rng
+        if self.is_master_node:
+            from cvnets_tpu.models.base_model import count_parameters
+
+            logger.info(
+                f"Model: {model.__class__.__name__} | params:"
+                f" {count_parameters(self.state.params) / 1e6:.2f}M |"
+                f" devices: {len(self.mesh.devices.flatten())}"
+            )
 
         # ---- checkpointing -------------------------------------------------
         results_loc = getattr(opts, "common.results_loc", "results")

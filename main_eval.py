@@ -37,5 +37,19 @@ def main_worker(args: Optional[List[str]] = None, **kwargs):
     return main(opts, **kwargs)
 
 
+def main_worker_segmentation(args: Optional[List[str]] = None, **kwargs):
+    """Offline segmentation eval (reference main_eval.py:143)."""
+    from cvnets_tpu.engine.eval_segmentation import main_segmentation_evaluation
+
+    return main_segmentation_evaluation(args)
+
+
+def main_worker_detection(args: Optional[List[str]] = None, **kwargs):
+    """Offline detection eval (reference main_eval.py:149)."""
+    from cvnets_tpu.engine.eval_detection import main_detection_evaluation
+
+    return main_detection_evaluation(args)
+
+
 if __name__ == "__main__":
     main_worker(sys.argv[1:])

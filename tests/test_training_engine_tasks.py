@@ -1,0 +1,49 @@
+"""Trainer smoke for non-classification tasks (reference runs 6 configs,
+tests/test_training_engine.py:128-206; here segmentation exercises dict losses,
+aux heads and the iou metric end-to-end)."""
+
+import pytest
+
+import tests.dummy_datasets.segmentation  # noqa: F401
+
+
+def test_trainer_segmentation_one_epoch(tmp_path):
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--dataset.name", "dummy_segmentation",
+        "--dataset.category", "segmentation",
+        "--dataset.train-batch-size0", "1",
+        "--dataset.val-batch-size0", "1",
+        "--dataset.workers", "0",
+        "--model.segmentation.name", "encoder_decoder",
+        "--model.segmentation.seg-head", "deeplabv3",
+        "--model.segmentation.use-aux-head",
+        "--model.classification.name", "mobilenetv2",
+        "--sampler.name", "batch_sampler",
+        "--sampler.bs.crop-size-width", "32",
+        "--sampler.bs.crop-size-height", "32",
+        "--loss.category", "segmentation",
+        "--scheduler.name", "cosine",
+        "--scheduler.max-epochs", "1",
+        "--common.log-freq", "1",
+        "--common.results-loc", str(tmp_path),
+    ])
+    setattr(opts, "stats.val", ["loss", "iou"])
+    setattr(opts, "scheduler.cosine.max_lr", 0.01)
+    setattr(opts, "scheduler.cosine.min_lr", 0.001)
+
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    trainer.run()
+    assert trainer.train_iterations > 0
+    val_stats = trainer.val_epoch(0)
+    assert "iou" in val_stats
