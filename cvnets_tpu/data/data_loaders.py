@@ -24,6 +24,8 @@ def create_test_loader(opts) -> CVNetsDataLoader:
     """Eval loader; variable samplers are downgraded to the fixed batch sampler
     (reference data/data_loaders.py:46-49)."""
     test_dataset = get_test_dataset(opts)
+    for k, v in (test_dataset.share_dataset_arguments() or {}).items():
+        setattr(opts, k, v)
     sampler_name = getattr(opts, "sampler.name", "batch_sampler")
     if sampler_name.startswith(("variable_batch_sampler", "multi_scale_sampler")):
         setattr(opts, "sampler.name", "batch_sampler")

@@ -11,21 +11,61 @@ class ImageNetDataset(BaseImageClassificationDataset):
     """ImageNet-1k in ImageFolder layout (train/<wnid>/*.JPEG)."""
 
 
+class BaseImageNetShiftDataset(BaseImageClassificationDataset):
+    """Distribution-shift sets evaluated with 1000-class models (reference
+    data/datasets/classification/base_imagenet_shift_dataset.py): the shift set's
+    classes are a subset of ImageNet-1k; logits are projected onto the subset at
+    eval time. The canonical 1000-class order is the sorted wnid order, so the
+    projection indices come from ranking this set's wnids against
+    ``--dataset.imagenet-shift.wnid-file`` (one wnid per line, canonical order)
+    or, if absent, a training-root class listing."""
+
+    def _full_wnid_order(self):
+        import os
+
+        wnid_file = getattr(self.opts, "dataset.imagenet_shift.wnid_file", None)
+        if wnid_file and os.path.isfile(wnid_file):
+            with open(wnid_file) as f:
+                return [l.strip() for l in f if l.strip()]
+        train_root = getattr(self.opts, "dataset.root_train", None)
+        if train_root and os.path.isdir(train_root):
+            return sorted(d.name for d in os.scandir(train_root) if d.is_dir())
+        return None
+
+    @classmethod
+    def add_arguments(cls, parser):
+        if cls != BaseImageNetShiftDataset:
+            return parser
+        group = parser.add_argument_group(title=cls.__name__)
+        group.add_argument("--dataset.imagenet-shift.wnid-file", type=str,
+                           default=None)
+        return parser
+
+    def share_dataset_arguments(self):
+        out = {}
+        full = self._full_wnid_order()
+        if full:
+            rank = {w: i for i, w in enumerate(full)}
+            subset = [rank[c] for c in self.classes if c in rank]
+            if len(subset) == len(self.classes):
+                out["stats.logit_subset_indices"] = subset
+        # model stays 1000-way; metric-time projection handles the subset
+        return out
+
+
 @DATASET_REGISTRY.register(name="imagenet_a", type="classification")
-class ImageNetADataset(BaseImageClassificationDataset):
-    """ImageNet-A natural adversarial examples (reference
-    data/datasets/classification/imagenet_a.py); 200-class subset evaluated by
-    projecting logits onto the subset at metric time."""
+class ImageNetADataset(BaseImageNetShiftDataset):
+    """ImageNet-A natural adversarial examples (200-class subset)."""
 
 
 @DATASET_REGISTRY.register(name="imagenet_r", type="classification")
-class ImageNetRDataset(BaseImageClassificationDataset):
-    """ImageNet-R renditions shift set."""
+class ImageNetRDataset(BaseImageNetShiftDataset):
+    """ImageNet-R renditions shift set (200-class subset)."""
 
 
 @DATASET_REGISTRY.register(name="imagenet_sketch", type="classification")
-class ImageNetSketchDataset(BaseImageClassificationDataset):
-    """ImageNet-Sketch shift set."""
+class ImageNetSketchDataset(BaseImageNetShiftDataset):
+    """ImageNet-Sketch shift set (full 1000 classes)."""
 
 
 @DATASET_REGISTRY.register(name="places365", type="classification")

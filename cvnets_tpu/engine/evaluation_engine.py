@@ -45,8 +45,13 @@ class Evaluator:
         metric_names = getattr(opts, "stats.val", ["loss"])
         self.stats = Statistics(opts, metric_names, self.is_master_node,
                                 is_evaluation=True)
+        subset = getattr(opts, "stats.logit_subset_indices", None)
+        import jax.numpy as jnp
+
+        subset_arr = jnp.asarray(subset) if subset else None
         self._eval_step = jax.jit(
-            make_eval_step(model, self.criteria, self.stats.metrics)
+            make_eval_step(model, self.criteria, self.stats.metrics,
+                           logit_subset=subset_arr)
         )
 
     def eval_fn_image(self) -> Dict[str, float]:
@@ -99,8 +104,63 @@ class Evaluator:
             self.stats.epoch_summary(0, stage="evaluation (video)")
         return self.stats.avg_statistics_all()
 
+    def eval_fn_zero_shot(self, class_caption_tokens) -> Dict[str, float]:
+        """CLIP zero-shot classification (reference clip.py:171-202 +
+        text_encoders zero-shot forward): encode each class's caption set once
+        (mean-pooled, normalized), then score images against the cached class
+        embeddings with 100·img@textᵀ logits."""
+        import jax.numpy as jnp
+
+        from cvnets_tpu.metrics.topk_accuracy import top_k_correct
+
+        tokens = jnp.asarray(class_caption_tokens)  # (C, n_captions, L)
+
+        @jax.jit
+        def class_embeddings(state, tokens):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            return self.model.apply(variables, tokens, training=False,
+                                    method=self.model.encode_text)
+
+        # chunk classes to bound memory (text encoder over C*n_captions seqs)
+        chunks = []
+        C = tokens.shape[0]
+        step = 100
+        for c0 in range(0, C, step):
+            chunks.append(jax.device_get(
+                class_embeddings(self.state, tokens[c0: c0 + step])))
+        text_emb = jnp.asarray(np.concatenate(chunks, axis=0))  # (C, D)
+
+        @jax.jit
+        def image_logits(state, images):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            img_emb = self.model.apply(variables, images, training=False,
+                                       method=self.model.encode_image)
+            return 100.0 * img_emb @ text_emb.T.astype(img_emb.dtype)
+
+        n_correct = {1: 0.0, 5: 0.0}
+        n_total = 0
+        for batch in self.test_loader:
+            images = jnp.asarray(np.asarray(batch["samples"]))
+            targets = jnp.asarray(np.asarray(batch["targets"]))
+            logits = image_logits(self.state, images)
+            for k in (1, 5):
+                n_correct[k] += float(top_k_correct(logits, targets, k))
+            n_total += int(images.shape[0])
+        out = {f"top{k}": 100.0 * v / max(n_total, 1)
+               for k, v in n_correct.items()}
+        if self.is_master_node:
+            logger.info(f"Zero-shot evaluation: {out}")
+        return out
+
     def run(self) -> Dict[str, float]:
         modality = getattr(self.opts, "common.inference_modality", "image")
         if modality == "video":
             return self.eval_fn_video()
+        dataset = getattr(self.test_loader, "dataset", None)
+        if dataset is not None and hasattr(dataset, "class_caption_tokens"):
+            return self.eval_fn_zero_shot(dataset.class_caption_tokens())
         return self.eval_fn_image()

@@ -175,13 +175,23 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, criteria, metric_objs: Dict[str, Any], use_ema: bool = False):
+def make_eval_step(model, criteria, metric_objs: Dict[str, Any], use_ema: bool = False,
+                   logit_subset=None):
+    """``logit_subset``: optional index array projecting 1000-way logits onto a
+    shift-set's class subset (reference base_imagenet_shift_dataset semantics)."""
+
     def eval_step(state: TrainState, batch: Dict) -> Dict:
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         prediction = model.apply(variables, batch["samples"], training=False)
+        if logit_subset is not None:
+            if isinstance(prediction, dict) and "logits" in prediction:
+                prediction = dict(prediction,
+                                  logits=prediction["logits"][:, logit_subset])
+            elif not isinstance(prediction, dict):
+                prediction = prediction[:, logit_subset]
         loss = criteria(batch["samples"], prediction, batch["targets"], training=False)
         extras = {"loss": loss}
         metrics = {}

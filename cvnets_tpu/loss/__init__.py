@@ -30,6 +30,10 @@ def build_loss_fn(opts, category: str = "", *args, **kwargs) -> BaseCriteria:
     (parity: reference loss_fn/__init__.py:22)."""
     if not category:
         category = getattr(opts, "loss.category")
+    if category == "composite_loss":
+        # the composite config is the list itself (loss.composite_loss)
+        return LOSS_REGISTRY["composite_loss", "composite_loss"](opts, *args,
+                                                                **kwargs)
     loss_fn_name = getattr(opts, f"loss.{category}.name", None)
     if loss_fn_name is None:
         from cvnets_tpu.utils import logger

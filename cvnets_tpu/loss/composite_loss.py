@@ -43,8 +43,13 @@ class CompositeLoss(BaseCriteria):
                 setattr(sub_opts, f"loss.{k}" if not k.startswith("loss.") else k, v)
             loss_name = getattr(sub_opts, f"loss.{category}.name", None)
             if loss_name is None:
-                # the entry itself may carry the name, e.g. {category: {name: ...}}
-                logger.error(f"loss.{category}.name missing for composite entry")
+                # single-loss categories (e.g. neural_augmentation) register the
+                # category name itself as the loss name
+                if f"{category}:{category}" in LOSS_REGISTRY:
+                    loss_name = category
+                else:
+                    logger.error(
+                        f"loss.{category}.name missing for composite entry")
             self.loss_fns[category] = LOSS_REGISTRY[loss_name, category](sub_opts)
             self.loss_weights[category] = weight
 

@@ -150,6 +150,20 @@ def get_eval_arguments(parse_args: bool = True, args: Optional[List[str]] = None
     return get_training_arguments(parse_args=parse_args, args=args)
 
 
+def get_conversion_arguments(args: Optional[List[str]] = None):
+    """Export/conversion args (reference get_conversion_arguments :344; the
+    coreml-specific flags are kept for config compatibility, the export target
+    here is StableHLO)."""
+    parser = get_training_arguments(parse_args=False)
+    group = parser.add_argument_group("Conversion arguments")
+    group.add_argument("--conversion.coreml-extn", type=str, default="mlmodel")
+    group.add_argument("--conversion.input-image-path", type=str, default=None)
+    group.add_argument("--conversion.bucket-name", type=str)
+    group.add_argument("--conversion.task-id", type=str)
+    group.add_argument("--conversion.viewers", type=str, nargs="+", default=None)
+    return parser_to_opts(parser, args=args)
+
+
 def get_benchmarking_arguments(args: Optional[List[str]] = None):
     parser = get_training_arguments(parse_args=False)
     group = parser.add_argument_group("Benchmarking arguments")

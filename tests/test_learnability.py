@@ -1,0 +1,84 @@
+"""End-to-end learnability: the full Trainer must actually LEARN a separable
+synthetic task (color patch -> class), validating optimizer/scheduler/loss/
+sampler/metric plumbing beyond smoke coverage."""
+
+from typing import Dict
+
+import numpy as np
+import pytest
+
+from cvnets_tpu.data.datasets import DATASET_REGISTRY
+from cvnets_tpu.data.datasets.dataset_base import BaseImageDataset
+
+
+@DATASET_REGISTRY.register(name="synthetic_colors", type="classification")
+class SyntheticColorDataset(BaseImageDataset):
+    """Class k = image dominated by color k (plus noise); trivially separable."""
+
+    n_classes = 4
+
+    def __init__(self, opts, n_samples: int = 128, *args, **kwargs) -> None:
+        super().__init__(opts, *args, **kwargs)
+        self.n_samples = n_samples
+        self.colors = np.asarray([
+            [0.9, 0.1, 0.1], [0.1, 0.9, 0.1], [0.1, 0.1, 0.9], [0.8, 0.8, 0.1],
+        ], np.float32)
+
+    def share_dataset_arguments(self) -> Dict:
+        return {"model.classification.n_classes": self.n_classes}
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def __getitem__(self, sample_size_and_index) -> Dict:
+        crop_h, crop_w, idx = self._parse_batch_tuple(sample_size_and_index)
+        if crop_h <= 0:
+            crop_h = crop_w = 32
+        rng = np.random.default_rng(idx)
+        cls = idx % self.n_classes
+        img = np.tile(self.colors[cls], (crop_h, crop_w, 1))
+        img += rng.normal(0, 0.05, img.shape).astype(np.float32)
+        return {"samples": np.clip(img, 0, 1).astype(np.float32),
+                "targets": int(cls), "sample_id": idx}
+
+
+@pytest.mark.slow
+def test_trainer_learns_synthetic_task(tmp_path):
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--dataset.name", "synthetic_colors",
+        "--dataset.category", "classification",
+        "--dataset.train-batch-size0", "2",
+        "--dataset.val-batch-size0", "2",
+        "--dataset.workers", "0",
+        "--model.classification.name", "mobilenetv1",
+        "--sampler.name", "batch_sampler",
+        "--sampler.bs.crop-size-width", "32",
+        "--sampler.bs.crop-size-height", "32",
+        "--loss.category", "classification",
+        "--optim.name", "adamw",
+        "--scheduler.name", "cosine",
+        "--scheduler.max-epochs", "3",
+        "--common.log-freq", "8",
+        "--common.results-loc", str(tmp_path),
+    ])
+    setattr(opts, "model.classification.mobilenetv1.width_multiplier", 0.25)
+    setattr(opts, "scheduler.cosine.max_lr", 0.002)
+    setattr(opts, "scheduler.cosine.min_lr", 0.0005)
+    setattr(opts, "stats.val", ["loss", "top1"])
+
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    trainer.run()
+    val_stats = trainer.val_epoch(99)
+    # trivially separable task: the stack must reach high accuracy
+    assert val_stats["top1"] > 75.0, val_stats

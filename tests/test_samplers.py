@@ -1,0 +1,87 @@
+"""Sampler tests (mirrors reference tests/data/samplers/*): epoch determinism,
+shard partitioning, constant-pixel-budget schedules, chain composition."""
+
+import argparse
+
+
+def _opts(**kw):
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[])
+    for k, v in kw.items():
+        setattr(opts, k, v)
+    return opts
+
+
+def test_variable_batch_sampler_budget_and_determinism():
+    from cvnets_tpu.data.sampler import build_sampler
+
+    opts = _opts(**{"sampler.name": "variable_batch_sampler",
+                    "dataset.train_batch_size0": 8})
+    setattr(opts, "sampler.vbs.crop_size_width", 224)
+    setattr(opts, "sampler.vbs.crop_size_height", 224)
+    s = build_sampler(opts, n_data_samples=256, is_training=True)
+    s.set_epoch(3)
+    batches1 = list(s)
+    s2 = build_sampler(opts, n_data_samples=256, is_training=True)
+    s2.set_epoch(3)
+    batches2 = list(s2)
+    # same epoch -> identical (h, w, bsz) schedule AND identical indices
+    assert [(len(b), b[0][:2]) for b in batches1] == \
+        [(len(b), b[0][:2]) for b in batches2]
+    assert batches1 == batches2
+    # roughly constant pixel budget across scales
+    budgets = {b[0][0] * b[0][1] * (len(b) // s.n_device_mult) for b in batches1}
+    base = 224 * 224 * 8
+    assert all(0.5 * base <= x <= 1.8 * base for x in budgets), budgets
+
+
+def test_shard_partition_disjoint_and_complete():
+    from cvnets_tpu.data.sampler.batch_sampler import BatchSampler
+
+    opts = _opts(**{"dataset.train_batch_size0": 4})
+    shards = []
+    for rank in range(4):
+        s = BatchSampler(opts, n_data_samples=64, is_training=True,
+                         rank=rank, num_replicas=4)
+        s.set_epoch(0)
+        shards.append(set(s.get_indices_rank_i()))
+    # disjoint between ranks, union covers the dataset
+    union = set()
+    for sh in shards:
+        assert not (union & sh)
+        union |= sh
+    assert union == set(range(64))
+
+
+def test_repeated_augmentation():
+    from cvnets_tpu.data.sampler.batch_sampler import BatchSampler
+
+    opts = _opts(**{"dataset.train_batch_size0": 4, "sampler.num_repeats": 3})
+    s = BatchSampler(opts, n_data_samples=10, is_training=True,
+                     rank=0, num_replicas=1)
+    idx = s.get_indices()
+    assert len(idx) == 30
+    from collections import Counter
+
+    assert set(Counter(idx).values()) == {3}
+
+
+def test_chain_sampler_sequential():
+    from cvnets_tpu.data.sampler import build_sampler
+
+    opts = _opts(**{"sampler.name": "chain_sampler",
+                    "dataset.train_batch_size0": 4})
+    setattr(opts, "sampler.chain_sampler", [
+        {"task_name": "a", "sampler_name": "batch_sampler",
+         "bs": {"crop_size_width": 32, "crop_size_height": 32}},
+        {"task_name": "b", "sampler_name": "batch_sampler",
+         "bs": {"crop_size_width": 64, "crop_size_height": 64}},
+    ])
+    s = build_sampler(opts, n_data_samples={"a": 8, "b": 8}, is_training=True)
+    batches = list(s)
+    crops = [b[0][:2] for b in batches]
+    assert (32, 32) in crops and (64, 64) in crops
+    # sequential: all 32s before all 64s
+    first64 = crops.index((64, 64))
+    assert all(c == (64, 64) for c in crops[first64:])

@@ -1,0 +1,56 @@
+"""CLIP zero-shot eval path test with a mock dataset (mirrors reference
+tests/data/datasets/multi_modal_img_text/zero_shot mock pattern)."""
+
+import numpy as np
+
+
+class _MockLoader:
+    def __init__(self, dataset, batches):
+        self.dataset = dataset
+        self._batches = batches
+
+    def __iter__(self):
+        return iter(self._batches)
+
+
+class _MockZeroShotDataset:
+    def __init__(self, tokens):
+        self._tokens = tokens
+
+    def class_caption_tokens(self):
+        return self._tokens
+
+
+def test_zero_shot_eval_pipeline():
+    import jax
+
+    from cvnets_tpu.engine.evaluation_engine import Evaluator
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.classification.name", "mobilenetv2",
+        "--dataset.category", "multi_modal_image_text",
+        "--loss.category", "multi_modal_image_text",
+    ])
+    setattr(opts, "model.multi_modal_image_text.name", "clip")
+    setattr(opts, "model.text.name", "transformer")
+    setattr(opts, "model.text.vocab_size", 64)
+    setattr(opts, "model.text.context_length", 8)
+    setattr(opts, "model.text.transformer.model_dim", 32)
+    setattr(opts, "model.text.transformer.n_transformer_layers", 1)
+    setattr(opts, "model.text.transformer.n_heads_per_layer", [4])
+    setattr(opts, "model.multi_modal_image_text.clip.projection_dim", 16)
+
+    model = get_model(opts)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, 64, (3, 2, 8)).astype(np.int32)  # 3 classes, 2 caps
+    batches = [{
+        "samples": rng.standard_normal((2, 32, 32, 3)).astype(np.float32),
+        "targets": np.asarray([0, 1]),
+    }]
+    evaluator = Evaluator(opts=opts, model=model,
+                          test_loader=_MockLoader(
+                              _MockZeroShotDataset(tokens), batches))
+    out = evaluator.run()
+    assert "top1" in out and 0.0 <= out["top1"] <= 100.0
