@@ -125,6 +125,19 @@ class Trainer:
         self.save_dir = save_dir or f"{results_loc}/{run_label}"
         self.ckpt_manager = CheckpointManager(opts, self.save_dir,
                                               self.is_master_node)
+        if self.is_master_node:
+            # store the resolved configuration with the run
+            # (reference training_engine.py:579-587)
+            import os
+
+            import yaml
+
+            os.makedirs(self.save_dir, exist_ok=True)
+            with open(os.path.join(self.save_dir, "config.yaml"), "w") as f:
+                yaml.safe_dump(
+                    {k: v for k, v in sorted(vars(opts).items())
+                     if isinstance(v, (str, int, float, bool, list, type(None)))},
+                    f, default_flow_style=False)
         self.state, self.start_epoch, self.start_iteration, best = load_checkpoint(
             opts, self.state, self.save_dir
         )
