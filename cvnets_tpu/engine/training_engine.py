@@ -138,6 +138,31 @@ class Trainer:
                     {k: v for k, v in sorted(vars(opts).items())
                      if isinstance(v, (str, int, float, bool, list, type(None)))},
                     f, default_flow_style=False)
+        # finetune: model-only weights with scope surgery (reference
+        # main_train.py:138-155 + cvnets/misc/common.py:54-109); .pt checkpoints
+        # route through the torch converter
+        finetune = getattr(opts, "common.finetune", None)
+        if finetune:
+            if finetune.endswith((".pt", ".pth")):
+                from cvnets_tpu.utils.torch_checkpoint_converter import (
+                    load_cvnets_checkpoint,
+                )
+
+                params, bs = load_cvnets_checkpoint(
+                    opts, finetune, jax.device_get(self.state.params),
+                    jax.device_get(self.state.batch_stats))
+            else:
+                from cvnets_tpu.utils.checkpoint_utils import load_model_weights
+
+                params, bs = load_model_weights(
+                    finetune, jax.device_get(self.state.params),
+                    jax.device_get(self.state.batch_stats))
+            self.state = self.state.replace(
+                params=jax.device_put(params, replicated_sharding(self.mesh)),
+                batch_stats=jax.device_put(bs or {},
+                                           replicated_sharding(self.mesh)))
+            logger.info(f"Loaded finetune weights from {finetune}")
+
         self.state, self.start_epoch, self.start_iteration, best = load_checkpoint(
             opts, self.state, self.save_dir
         )

@@ -34,7 +34,8 @@ def call_maybe_training(mod, x, training: bool):
     except (TypeError, ValueError):
         params = {}
     if "training" in params:
-        return mod(x, training=training)
+        # positional so nn.remat(static_argnums=(1,)) can mark it static
+        return mod(x, training)
     return mod(x)
 
 
@@ -136,10 +137,14 @@ class BaseImageEncoder(BaseAnyNNModel):
 
     def __call__(self, x: jnp.ndarray, training: bool = False) -> Any:
         augmentor = self._stage("neural_augmentor")
-        if augmentor is not None and training:
+        if augmentor is not None:
+            # always CALL the augmentor so its params exist in the eval/init
+            # trace; it passes through unchanged when not training
             x = augmentor(x, training=training)
             logits = self.forward_classifier(x, training=training)
-            return {"augmented_tensor": x, "logits": logits}
+            if training:
+                return {"augmented_tensor": x, "logits": logits}
+            return logits
         return self.forward_classifier(x, training=training)
 
     # ------------------------------------------------------------------- tests

@@ -36,20 +36,29 @@ class NeuralAugmentor(nn.Module):
                 out.append(name)
         return out
 
-    def _magnitude(self, name: str, rng) -> jnp.ndarray:
+    def _make_params(self, name: str):
+        """Create the learnable magnitude params UNCONDITIONALLY so init at
+        eval time sees the same tree as the training apply."""
         init = {"brightness": 1.0, "contrast": 1.0, "noise": 0.0}[name]
         if self.mode == "basic":
-            p = self.param(f"{name}_mag", lambda _k: jnp.asarray(init, jnp.float32))
-            return p
+            return (self.param(f"{name}_mag",
+                               lambda _k: jnp.asarray(init, jnp.float32)),)
         lo = self.param(f"{name}_min", lambda _k: jnp.asarray(
             init * 0.5 if name != "noise" else 0.0, jnp.float32))
         hi = self.param(f"{name}_max", lambda _k: jnp.asarray(
             init * 1.5 if name != "noise" else 0.1, jnp.float32))
+        return lo, hi
+
+    def _magnitude(self, params, rng) -> jnp.ndarray:
+        if self.mode == "basic":
+            return params[0]
+        lo, hi = params
         u = jax.random.uniform(rng)
         return lo + u * (hi - lo)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        aug_params = {name: self._make_params(name) for name in self._enabled}
         if not training or not self._enabled:
             return x
         rng = self.make_rng("dropout")
@@ -57,7 +66,7 @@ class NeuralAugmentor(nn.Module):
         y = x
         for i, name in enumerate(self._enabled):
             mag_rng, sel_rng = jax.random.split(jax.random.fold_in(rng, i))
-            mag = self._magnitude(name, mag_rng)
+            mag = self._magnitude(aug_params[name], mag_rng)
             if name == "brightness":
                 aug = _clip_fn(y * mag, 0.0, 1.0)
             elif name == "contrast":

@@ -1,0 +1,76 @@
+"""Layer unit tests: pixel shuffle (vs torch), positional embedding interpolation,
+global pool variants, token merging, group linear."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_pixel_shuffle_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    from cvnets_tpu.layers.pixel_shuffle import pixel_shuffle, pixel_unshuffle
+
+    x = np.random.default_rng(0).standard_normal((2, 4, 4, 8)).astype(np.float32)
+    y = pixel_shuffle(jnp.asarray(x), 2)
+    t = torch.pixel_shuffle(torch.from_numpy(x.transpose(0, 3, 1, 2)), 2) \
+        .numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(y), t, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pixel_unshuffle(y, 2)), x, atol=1e-6)
+
+
+def test_positional_embedding_interpolates():
+    from cvnets_tpu.layers.positional_embedding import PositionalEmbedding
+
+    m = PositionalEmbedding(num_embeddings=16, embedding_dim=8, is_learnable=True)
+    x64 = jnp.zeros((1, 64, 8))
+    v = m.init(jax.random.PRNGKey(0), x64)
+    out = m.apply(v, x64)  # longer than table -> interpolated
+    assert out.shape == (1, 64, 8)
+    out16 = m.apply(v, jnp.zeros((1, 16, 8)))
+    assert out16.shape == (1, 16, 8)
+
+
+def test_global_pool_variants():
+    from cvnets_tpu.layers.pool import GlobalPool
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 4, 4, 3)).astype(np.float32))
+    mean = GlobalPool(pool_type="mean").apply({}, x)
+    rms = GlobalPool(pool_type="rms").apply({}, x)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(x).mean((1, 2)),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rms),
+                               np.sqrt((np.asarray(x)**2).mean((1, 2))),
+                               atol=1e-5)
+
+
+def test_group_linear_shapes():
+    import argparse
+
+    from cvnets_tpu.layers.linear_layer import GroupLinear
+
+    opts = argparse.Namespace()
+    m = GroupLinear(opts=opts, in_features=16, out_features=32, n_groups=4)
+    x = jnp.ones((2, 16))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 32)
+    assert v["params"]["weight"].shape == (4, 4, 8)
+
+
+def test_windowed_transformer_masks_padding():
+    import argparse
+
+    from cvnets_tpu.modules.windowed_transformer import WindowedTransformerEncoder
+
+    opts = argparse.Namespace()
+    m = WindowedTransformerEncoder(opts=opts, embed_dim=16, ffn_latent_dim=32,
+                                   num_heads=4, window_size=8, window_shift=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 24, 16)).astype(np.float32))
+    mask = jnp.zeros((2, 24), bool).at[:, 16:].set(True)
+    v = m.init(jax.random.PRNGKey(0), x, key_padding_mask=mask)
+    y = m.apply(v, x, key_padding_mask=mask)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
