@@ -1,10 +1,56 @@
 """Trainer smoke for non-classification tasks (reference runs 6 configs,
-tests/test_training_engine.py:128-206; here segmentation exercises dict losses,
-aux heads and the iou metric end-to-end)."""
+tests/test_training_engine.py:128-206; segmentation exercises dict losses, aux
+heads and the iou metric; detection exercises SSD anchors/matcher/hard-negative
+loss through the full loop)."""
 
 import pytest
 
+import tests.dummy_datasets.detection  # noqa: F401
 import tests.dummy_datasets.segmentation  # noqa: F401
+
+
+def test_trainer_ssd_detection_one_epoch(tmp_path):
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--dataset.name", "dummy_ssd_detection",
+        "--dataset.category", "detection",
+        "--dataset.train-batch-size0", "1",
+        "--dataset.val-batch-size0", "1",
+        "--dataset.workers", "0",
+        "--model.detection.name", "ssd",
+        "--model.detection.n-classes", "5",
+        "--model.classification.name", "mobilenetv2",
+        "--sampler.name", "batch_sampler",
+        "--sampler.bs.crop-size-width", "128",
+        "--sampler.bs.crop-size-height", "128",
+        "--loss.category", "detection",
+        "--loss.detection.name", "ssd_multibox_loss",
+        "--scheduler.name", "cosine",
+        "--scheduler.max-epochs", "1",
+        "--common.log-freq", "1",
+        "--common.results-loc", str(tmp_path),
+    ])
+    setattr(opts, "anchor_generator.name", "ssd")
+    setattr(opts, "anchor_generator.ssd.output_strides", [16, 32, -1])
+    setattr(opts, "anchor_generator.ssd.aspect_ratios", [[2], [2], [2]])
+    setattr(opts, "matcher.name", "ssd")
+    setattr(opts, "model.detection.ssd.proj_channels", [128, 128, 64])
+    setattr(opts, "scheduler.cosine.max_lr", 0.001)
+    setattr(opts, "scheduler.cosine.min_lr", 0.0001)
+
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    trainer.run()
+    assert trainer.train_iterations > 0
 
 
 def test_trainer_segmentation_one_epoch(tmp_path):
