@@ -32,15 +32,6 @@ class BaseImageNetShiftDataset(BaseImageClassificationDataset):
             return sorted(d.name for d in os.scandir(train_root) if d.is_dir())
         return None
 
-    @classmethod
-    def add_arguments(cls, parser):
-        if cls != BaseImageNetShiftDataset:
-            return parser
-        group = parser.add_argument_group(title=cls.__name__)
-        group.add_argument("--dataset.imagenet-shift.wnid-file", type=str,
-                           default=None)
-        return parser
-
     def share_dataset_arguments(self):
         out = {}
         full = self._full_wnid_order()

@@ -67,6 +67,10 @@ class BaseDataset:
         group.add_argument("--dataset.collate-fn-name-test", type=str,
                            default="default_collate_fn")
         group.add_argument("--dataset.percentage-of-samples", type=float, default=100.0)
+        group.add_argument("--dataset.imagenet-shift.wnid-file", type=str,
+                           default=None,
+                           help="Canonical 1000-wnid order for shift-set logit"
+                                " projection (one wnid per line)")
         return parser
 
     # -- metadata hooks (reference :260-303) ---------------------------------

@@ -66,10 +66,9 @@ class ClipTokenizer(BaseTokenizer):
         self.context_length = getattr(opts, "model.text.context_length", 77)
         merges_path = getattr(opts, "text_tokenizer.clip.merges_path", None)
         self.vocab_size = getattr(opts, "model.text.vocab_size", 49408)
+        # ASCII approximation of CLIP's \p{L}/\p{N} pattern (stdlib `re` has no
+        # unicode property classes; the BPE byte-encoder handles non-ASCII)
         self.pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-            r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if False else
             r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
             r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
             re.IGNORECASE,
