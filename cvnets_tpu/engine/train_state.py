@@ -75,9 +75,20 @@ def make_train_step(
     ema_momentum = getattr(opts, "ema.momentum", 0.0001)
     n_classes = getattr(opts, "model.classification.n_classes", None)
     accum_freq = max(1, getattr(opts, "common.accum_freq", 1) or 1)
+    # dynamic BN momentum annealing (reference AdjustBatchNormMomentum mutates
+    # every BN module's momentum per iteration): BN's running-stat update is
+    # affine in the momentum, so instead of re-tracing we re-blend the stats the
+    # traced apply produced with the static momentum m0 into the annealed m':
+    #   ra_new = m0*ra + (1-m0)*batch  =>  batch = (ra_new - m0*ra)/(1-m0)
+    #   ra'    = m'*ra + (1-m')*batch  =  ra*(m' - a*m0) + a*ra_new,  a=(1-m')/(1-m0)
+    # m', passed per step like lr, is a traced scalar -> no recompilation.
+    adjust_bn = getattr(opts, "model.normalization.adjust_bn_momentum.enable", False)
+    _m0_torch = getattr(opts, "model.normalization.momentum", 0.1) or 0.1
+    m0_flax = 1.0 - _m0_torch
 
     def train_step(state: TrainState, batch: Dict, lr: jnp.ndarray, rng,
-                   epoch: jnp.ndarray = 0) -> Tuple:
+                   epoch: jnp.ndarray = 0,
+                   bn_momentum: Optional[jnp.ndarray] = None) -> Tuple:
         samples, targets = batch["samples"], batch["targets"]
         rng = jax.random.fold_in(rng, state.step)
         mix_rng, aug_rng, dropout_rng = jax.random.split(rng, 3)
@@ -156,10 +167,19 @@ def make_train_step(
         if ema_enabled and new_ema is not None:
             new_ema = ema_update(new_ema, new_params, ema_momentum)
 
+        new_bs = new_vars.get("batch_stats", state.batch_stats)
+        if adjust_bn and bn_momentum is not None and state.batch_stats:
+            m_prime = jnp.asarray(bn_momentum, jnp.float32)
+            a = (1.0 - m_prime) / (1.0 - m0_flax)
+            new_bs = jax.tree_util.tree_map(
+                lambda old, new: (old * (m_prime - a * m0_flax)
+                                  + new * a).astype(old.dtype),
+                state.batch_stats, new_bs)
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
-            batch_stats=new_vars.get("batch_stats", state.batch_stats),
+            batch_stats=new_bs,
             opt_state=new_opt_state,
             ema_params=new_ema,
         )

@@ -98,10 +98,6 @@ class Trainer:
         self.adjust_norm_mom = None
         if getattr(opts, "model.normalization.adjust_bn_momentum.enable", False):
             self.adjust_norm_mom = AdjustBatchNormMomentum(opts)
-            logger.warning(
-                "BN momentum annealing is tracked host-side; the compiled step uses"
-                " the config momentum (annealing support lands with a momentum input)."
-            )
 
         # ---- build state from a dummy batch -------------------------------
         rng = jax.random.PRNGKey(self.seed)
@@ -204,8 +200,13 @@ class Trainer:
                 break
             lr = self.scheduler.retrieve_lr(epoch, self.train_iterations)
             sharded = shard_batch(self.mesh, batch)
+            bn_m = None
+            if self.adjust_norm_mom is not None:
+                # flax convention (1 - torch momentum); traced scalar like lr
+                bn_m = 1.0 - self.adjust_norm_mom.get_momentum(
+                    epoch, self.train_iterations)
             self.state, metrics = self._train_step(
-                self.state, sharded, lr, self.rng, epoch
+                self.state, sharded, lr, self.rng, epoch, bn_m
             )
             first_leaf = jax.tree_util.tree_leaves(batch["samples"])[0]
             bsz = int(np.asarray(first_leaf).shape[0])

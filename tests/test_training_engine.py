@@ -83,3 +83,52 @@ def test_trainer_resume(tmp_path):
     t2 = build()
     assert t2.start_epoch >= 2  # resumed past the first run's epochs
     assert t2.train_iterations == iters_first
+
+
+def test_dynamic_bn_momentum_reblend():
+    """The compiled step re-blends BN running stats into the annealed momentum
+    exactly (reference AdjustBatchNormMomentum mutates module momentum per iter;
+    here the update is affine in m so a traced scalar suffices)."""
+    import argparse
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cvnets_tpu.engine.train_state import create_train_state, make_train_step
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, training=False):
+            x = nn.BatchNorm(use_running_average=not training, momentum=0.9)(x)
+            return x.mean(axis=(1, 2, 3))
+
+    opts = argparse.Namespace()
+    setattr(opts, "model.normalization.adjust_bn_momentum.enable", True)
+    setattr(opts, "model.normalization.momentum", 0.1)
+
+    model = M()
+    tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.0)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 8, 8, 3))
+    batch = {"samples": x, "targets": jnp.zeros((4,), jnp.float32)}
+    state = create_train_state(model, tx, rng, batch)
+
+    def criteria(samples, prediction, targets, training=False, **kw):
+        return jnp.mean((prediction - targets) ** 2)
+
+    step = jax.jit(make_train_step(model, criteria, tx, opts, {}))
+    m_prime = 0.97  # annealed flax-convention momentum for this iteration
+    new_state, _ = step(state, batch, 0.0, rng, 0, m_prime)
+
+    batch_mean = np.asarray(x.mean(axis=(0, 1, 2)))
+    batch_var = np.asarray(x.var(axis=(0, 1, 2)))
+    bn = new_state.batch_stats["BatchNorm_0"]
+    np.testing.assert_allclose(
+        np.asarray(bn["mean"]), m_prime * 0.0 + (1 - m_prime) * batch_mean,
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bn["var"]), m_prime * 1.0 + (1 - m_prime) * batch_var,
+        rtol=1e-5, atol=1e-6)
