@@ -39,6 +39,11 @@ def call_maybe_training(mod, x, training: bool):
     return mod(x)
 
 
+def _stage_call(mod, x, training):
+    """Module-first wrapper so ``nn.remat`` can lift a constructed stage."""
+    return call_maybe_training(mod, x, training)
+
+
 @MODEL_REGISTRY.register(name="__base__", type="classification")
 class BaseImageEncoder(BaseAnyNNModel):
     opts: Any = None
@@ -94,6 +99,12 @@ class BaseImageEncoder(BaseAnyNNModel):
             for m in mod:
                 x = self._run_stage(m, x, training)
             return x
+        if self.gradient_checkpointing and training:
+            # per-stage rematerialization (reference wraps stages in
+            # torch.utils.checkpoint; here jax.checkpoint via the lifted
+            # nn.remat — activations recomputed in backward, same numerics).
+            # ``training`` must be positional+static (argnum offset: module=0).
+            return nn.remat(_stage_call, static_argnums=(2,))(mod, x, training)
         return call_maybe_training(mod, x, training)
 
     def extract_end_points_all(

@@ -71,3 +71,45 @@ def test_classification_model_forward_loss_grad(model_name, batch_size):
     assert len(zero_grads) < max(2, n_leaves // 4), (
         f"{model_name}: {len(zero_grads)}/{n_leaves} zero-grad leaves"
     )
+
+
+def test_conv_encoder_gradient_checkpointing_equivalence():
+    """--model.classification.gradient-checkpointing reruns stages in backward
+    (nn.remat); loss/grads/batch_stats must match the un-remat'd program."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 32, 32, 3))
+    y = jnp.array([1, 3])
+    outs = {}
+    for gc in (False, True):
+        args = ["--model.classification.name", "mobilenetv2",
+                "--model.classification.n-classes", "10"]
+        if gc:
+            args.append("--model.classification.gradient-checkpointing")
+        m = get_model(get_training_arguments(args=args))
+        v = m.init({"params": rng, "dropout": rng}, x, training=False)
+
+        def loss_fn(p):
+            logits, nv = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                training=True, mutable=["batch_stats"], rngs={"dropout": rng})
+            return -jnp.mean(
+                jax.nn.log_softmax(logits)[jnp.arange(2), y]), nv
+
+        (l, nv), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+            v["params"])
+        gnorm = jnp.sqrt(sum(jnp.sum(t ** 2)
+                             for t in jax.tree_util.tree_leaves(g)))
+        bs = np.concatenate([np.asarray(t).ravel() for t in
+                             jax.tree_util.tree_leaves(nv["batch_stats"])])
+        outs[gc] = (float(l), float(gnorm), bs)
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5)
+    np.testing.assert_allclose(outs[False][2], outs[True][2],
+                               rtol=1e-5, atol=1e-7)
