@@ -146,8 +146,133 @@ class FlickrDataset(BaseMultiModalImgText):
 
 @DATASET_REGISTRY.register(name="img_text_tar", type="multi_modal_image_text")
 class ImgTextTarDataset(FlickrDataset):
-    """Large-scale tar-sharded variant (reference img_text_tar_dataset.py:407);
-    here manifest-driven with per-shard lazy extraction handled by the path layer."""
+    """Large-scale tar-sharded image-text dataset (reference
+    img_text_tar_dataset.py:407). Samples live in ``*.tar`` shards under the
+    dataset root as paired members ``<key>.{jpg,jpeg,png,webp}`` +
+    ``<key>.{txt,json}`` (caption). Shards are indexed once at startup — from
+    ``--dataset.img-text-tar.metadata-file`` (json: {"samples": [[shard,
+    img_member, txt_member], ...]}) when given, else by scanning tar headers —
+    and streamed lazily at read time with one open handle per shard per worker
+    thread (tarfile handles are not thread-safe; the loader is thread-based).
+    A Flickr-style manifest in the root keeps working as a fallback."""
+
+    _IMG_EXT = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
+    _TXT_EXT = (".txt", ".json")
+
+    def __init__(self, opts, is_training: bool = True, is_evaluation: bool = False,
+                 *args, **kwargs) -> None:
+        super().__init__(opts, is_training=is_training, is_evaluation=is_evaluation,
+                         *args, **kwargs)
+        # (shard_path, img_member, txt_member_or_inline_caption, is_inline)
+        self._tar_entries: List[Tuple[str, str, str, bool]] = []
+        import threading
+
+        self._tls = threading.local()
+        if not self.samples:  # no Flickr-style manifest found
+            self._index_shards()
+
+    @classmethod
+    def add_arguments(cls, parser):
+        group = parser.add_argument_group(title=cls.__name__)
+        group.add_argument(
+            "--dataset.img-text-tar.metadata-file", type=str, default=None,
+            help='Optional shard index: {"samples": [[shard, img_member,'
+                 ' txt_member], ...]} — skips the startup tar scan')
+        return parser
+
+    def _index_shards(self) -> None:
+        import glob
+        import tarfile
+
+        root = self.root or ""
+        meta_path = getattr(self.opts, "dataset.img_text_tar.metadata_file", None)
+        if meta_path and os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            for shard, img_m, txt_m in meta.get("samples", []):
+                if not os.path.isabs(shard):
+                    shard = os.path.join(root, shard)
+                self._tar_entries.append((shard, img_m, txt_m, False))
+            return
+        for shard in sorted(glob.glob(os.path.join(root, "*.tar"))):
+            imgs: Dict[str, str] = {}
+            txts: Dict[str, str] = {}
+            with tarfile.open(shard) as tf:  # header walk only, no extraction
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    key, ext = os.path.splitext(m.name)
+                    ext = ext.lower()
+                    if ext in self._IMG_EXT:
+                        imgs[key] = m.name
+                    elif ext in self._TXT_EXT:
+                        txts[key] = m.name
+            for key in sorted(imgs):
+                if key in txts:
+                    self._tar_entries.append((shard, imgs[key], txts[key], False))
+
+    def _shard_handle(self, shard: str):
+        import tarfile
+
+        cache = getattr(self._tls, "handles", None)
+        if cache is None:
+            cache = self._tls.handles = {}
+        if shard not in cache:
+            cache[shard] = tarfile.open(shard)
+        return cache[shard]
+
+    @staticmethod
+    def _parse_caption(raw: bytes, member: str) -> str:
+        text = raw.decode("utf-8", errors="replace")
+        if member.endswith(".json"):
+            try:
+                blob = json.loads(text)
+                return blob.get("caption") or blob.get("text") or ""
+            except json.JSONDecodeError:
+                return ""
+        return text.strip()
+
+    def __len__(self) -> int:
+        return len(self._tar_entries) if self._tar_entries else len(self.samples)
+
+    def __getitem__(self, sample_size_and_index) -> Dict:
+        if not self._tar_entries:  # manifest fallback
+            return super().__getitem__(sample_size_and_index)
+        crop_h, crop_w, idx = self._parse_batch_tuple(sample_size_and_index)
+        if crop_h <= 0:
+            crop_h = crop_w = 224
+        shard, img_m, txt_m, _ = self._tar_entries[idx]
+        img = caption = None
+        try:
+            tf = self._shard_handle(shard)
+            import io
+
+            from PIL import Image
+
+            img_bytes = tf.extractfile(img_m).read()
+            caption = self._parse_caption(tf.extractfile(txt_m).read(), txt_m)
+            img = Image.open(io.BytesIO(img_bytes)).convert("RGB")
+        except Exception:
+            img = None
+        if img is None:
+            return {
+                "samples": {
+                    "image": np.zeros((crop_h, crop_w, 3), np.float32),
+                    "text": np.asarray(self.tokenizer("")),
+                },
+                "targets": -1,
+                "sample_id": idx,
+            }
+        data = self._transforms((crop_h, crop_w))(
+            {"image": img, "crop_size": (crop_h, crop_w)})
+        return {
+            "samples": {
+                "image": np.asarray(data["image"], np.float32),
+                "text": np.asarray(self.tokenizer(caption)),
+            },
+            "targets": idx,
+            "sample_id": idx,
+        }
 
 
 @DATASET_REGISTRY.register(name="imagenet_zero_shot", type="multi_modal_image_text")

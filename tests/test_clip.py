@@ -100,3 +100,90 @@ def test_clip_tokenizer_fallback():
     assert tok.get_eot_token() in ids
     # deterministic
     np.testing.assert_array_equal(ids, tok("A photo of a cat."))
+
+
+def _make_tar_shards(root):
+    import io
+    import json
+    import os
+    import tarfile
+
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    entries = []
+    for s in range(2):
+        shard = os.path.join(root, f"shard-{s:03d}.tar")
+        with tarfile.open(shard, "w") as tf:
+            for i in range(3):
+                key = f"{s:03d}_{i:04d}"
+                buf = io.BytesIO()
+                Image.new("RGB", (40, 40), (10 * (s + 1), 20 * i, 99)).save(
+                    buf, format="PNG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(key + ".png")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                if i % 2 == 0:
+                    cap = f"a photo number {s}-{i}".encode()
+                    info = tarfile.TarInfo(key + ".txt")
+                else:
+                    cap = json.dumps({"caption": f"json caption {s}-{i}"}).encode()
+                    info = tarfile.TarInfo(key + ".json")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+        entries.append(shard)
+    return entries
+
+
+def test_img_text_tar_streaming(tmp_path):
+    """Tar shards are indexed by header walk and streamed lazily; txt and json
+    caption members both decode (reference img_text_tar_dataset.py:407)."""
+    import numpy as np
+
+    from cvnets_tpu.data.datasets import build_dataset_from_registry
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    root = str(tmp_path / "tars")
+    _make_tar_shards(root)
+    opts = get_training_arguments(args=[
+        "--dataset.name", "img_text_tar",
+        "--dataset.category", "multi_modal_image_text",
+        "--dataset.root-train", root,
+        "--model.multi-modal-image-text.name", "clip",
+    ])
+    ds = build_dataset_from_registry(opts, is_training=True)
+    assert len(ds) == 6
+    out = ds[(32, 32, 0)]
+    assert out["samples"]["image"].shape == (32, 32, 3)
+    assert out["samples"]["text"].shape[0] == 77
+    # json-caption member (odd index within shard)
+    out2 = ds[(32, 32, 1)]
+    assert out2["targets"] == 1
+    assert not np.array_equal(out["samples"]["text"], out2["samples"]["text"])
+
+
+def test_img_text_tar_metadata_file(tmp_path):
+    import json
+
+    from cvnets_tpu.data.datasets import build_dataset_from_registry
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    root = str(tmp_path / "tars")
+    _make_tar_shards(root)
+    meta = tmp_path / "index.json"
+    meta.write_text(json.dumps({"samples": [
+        ["shard-001.tar", "001_0000.png", "001_0000.txt"],
+        ["shard-000.tar", "000_0001.png", "000_0001.json"],
+    ]}))
+    opts = get_training_arguments(args=[
+        "--dataset.name", "img_text_tar",
+        "--dataset.category", "multi_modal_image_text",
+        "--dataset.root-train", root,
+        "--dataset.img-text-tar.metadata-file", str(meta),
+        "--model.multi-modal-image-text.name", "clip",
+    ])
+    ds = build_dataset_from_registry(opts, is_training=True)
+    assert len(ds) == 2  # metadata index skips the scan and bounds the set
+    out = ds[(32, 32, 0)]
+    assert out["samples"]["image"].shape == (32, 32, 3)
