@@ -88,7 +88,57 @@ def main_loss_landscape(args: Optional[List[str]] = None):
         json.dump({"x": xs.tolist(), "y": ys.tolist(),
                    "loss": grid.tolist()}, f)
     logger.info(f"Saved loss landscape grid to {out}")
+    render_landscape_plots(xs, ys, grid, out_dir)
     return grid
+
+
+def render_landscape_plots(xs, ys, grid, out_dir: str, n_gif_frames: int = 36):
+    """Contour + 3D surface + rotating-surface gif (reference
+    loss_landscape/landscape_utils.py plot_save_figures). Gated on matplotlib
+    so headless grid-only runs still work."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib import animation
+    except ImportError:
+        logger.warning("matplotlib unavailable; skipping landscape plots")
+        return
+
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    cs = ax.contour(X, Y, grid, levels=25, cmap="viridis")
+    ax.clabel(cs, inline=True, fontsize=6)
+    ax.set_xlabel("alpha")
+    ax.set_ylabel("beta")
+    fig.savefig(os.path.join(out_dir, "loss_contour.png"), dpi=150,
+                bbox_inches="tight")
+    plt.close(fig)
+
+    fig = plt.figure(figsize=(6, 5))
+    ax = fig.add_subplot(projection="3d")
+    ax.plot_surface(X, Y, grid, cmap="viridis", linewidth=0, antialiased=True)
+    ax.set_xlabel("alpha")
+    ax.set_ylabel("beta")
+    ax.set_zlabel("loss")
+    fig.savefig(os.path.join(out_dir, "loss_surface.png"), dpi=150,
+                bbox_inches="tight")
+
+    def rotate(angle_idx):
+        ax.view_init(elev=30, azim=angle_idx * (360.0 / n_gif_frames))
+        return ()
+
+    anim = animation.FuncAnimation(fig, rotate, frames=n_gif_frames,
+                                   interval=100, blit=False)
+    gif_path = os.path.join(out_dir, "loss_surface.gif")
+    try:
+        anim.save(gif_path, writer=animation.PillowWriter(fps=10))
+        logger.info(f"Saved landscape plots to {out_dir}")
+    except Exception as e:  # writer availability varies by build
+        logger.warning(f"gif render skipped: {e}")
+    plt.close(fig)
 
 
 if __name__ == "__main__":
