@@ -63,18 +63,26 @@ def make_train_step(
     metric_objs: Dict[str, Any],
     mixing_fn: Optional[Callable] = None,
     augment_fn: Optional[Callable] = None,
+    accum_freq: Optional[int] = None,
 ):
     """Build the jit-able train step closure.
 
     ``mixing_fn(rng, samples, targets, n_classes) -> (samples, soft_targets)``
     implements device-side mixup/cutmix (reference applies these in the Trainer after
     the device move, engine/training_engine.py:238).
+
+    ``accum_freq`` overrides ``--common.accum-freq``: accumulation is unrolled at
+    trace time, so ``--common.accum-after-epoch`` is realized as two compiled
+    variants (freq=1 and freq=N) the Trainer switches between at the epoch
+    boundary — a host decision, no retrace inside an epoch.
     """
     grad_clip = getattr(opts, "common.grad_clip", None)
     ema_enabled = getattr(opts, "ema.enable", False)
     ema_momentum = getattr(opts, "ema.momentum", 0.0001)
     n_classes = getattr(opts, "model.classification.n_classes", None)
-    accum_freq = max(1, getattr(opts, "common.accum_freq", 1) or 1)
+    if accum_freq is None:
+        accum_freq = getattr(opts, "common.accum_freq", 1)
+    accum_freq = max(1, accum_freq or 1)
     # dynamic BN momentum annealing (reference AdjustBatchNormMomentum mutates
     # every BN module's momentum per iteration): BN's running-stat update is
     # affine in the momentum, so instead of re-tracing we re-blend the stats the

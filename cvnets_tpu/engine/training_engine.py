@@ -181,6 +181,19 @@ class Trainer:
                             mixing_fn=self.mixing_fn, augment_fn=self.augment_fn),
             donate_argnums=(0,),
         )
+        # --common.accum-after-epoch: accumulation is a trace-time unroll, so
+        # the warm epochs use a second freq=1 compile (reference gates the
+        # accumulation counter per iteration, training_engine.py:255)
+        self.accum_after_epoch = getattr(opts, "common.accum_after_epoch", 0) or 0
+        self._train_step_noaccum = None
+        if (self.accum_after_epoch > 0
+                and (getattr(opts, "common.accum_freq", 1) or 1) > 1):
+            self._train_step_noaccum = jax.jit(
+                make_train_step(model, criteria, self.tx, opts, train_metrics,
+                                mixing_fn=self.mixing_fn,
+                                augment_fn=self.augment_fn, accum_freq=1),
+                donate_argnums=(0,),
+            )
         self._eval_step = jax.jit(make_eval_step(model, criteria, val_metrics))
         self._eval_step_ema = jax.jit(
             make_eval_step(model, criteria, val_metrics, use_ema=True)
@@ -205,7 +218,11 @@ class Trainer:
                 # flax convention (1 - torch momentum); traced scalar like lr
                 bn_m = 1.0 - self.adjust_norm_mom.get_momentum(
                     epoch, self.train_iterations)
-            self.state, metrics = self._train_step(
+            step_fn = self._train_step
+            if (self._train_step_noaccum is not None
+                    and epoch < self.accum_after_epoch):
+                step_fn = self._train_step_noaccum
+            self.state, metrics = step_fn(
                 self.state, sharded, lr, self.rng, epoch, bn_m
             )
             first_leaf = jax.tree_util.tree_leaves(batch["samples"])[0]

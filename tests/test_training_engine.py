@@ -132,3 +132,27 @@ def test_dynamic_bn_momentum_reblend():
     np.testing.assert_allclose(
         np.asarray(bn["var"]), m_prime * 1.0 + (1 - m_prime) * batch_var,
         rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_accum_after_epoch(tmp_path):
+    """--common.accum-after-epoch: epoch 0 runs the freq=1 step variant, later
+    epochs the accumulating one (two compiles, host-side switch)."""
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+
+    opts = _opts(tmp_path, extra=["--common.accum-freq", "2",
+                                  "--common.accum-after-epoch", "1",
+                                  "--dataset.train-batch-size0", "4"])
+    setattr(opts, "scheduler.cosine.max_lr", 0.05)
+    setattr(opts, "scheduler.cosine.min_lr", 0.005)
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    assert trainer._train_step_noaccum is not None
+    trainer.run()
+    assert trainer.train_iterations > 0
