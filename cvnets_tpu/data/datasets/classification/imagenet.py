@@ -59,6 +59,24 @@ class ImageNetSketchDataset(BaseImageNetShiftDataset):
     """ImageNet-Sketch shift set (full 1000 classes)."""
 
 
+@DATASET_REGISTRY.register(name="imagenet_v2", type="classification")
+class ImageNetV2Dataset(BaseImageClassificationDataset):
+    """ImageNetV2 re-collected test sets (reference imagenet_v2.py): all 1000
+    classes, but folders are the NUMERIC class indices ("0".."999") of the
+    canonical sorted-wnid order rather than wnids — remap folder-name order
+    (lexicographic "0","1","10",...) to numeric so labels line up. The split
+    (matched-frequency / threshold-0.7 / top-images) is chosen by pointing the
+    val/test root at the corresponding directory."""
+
+    def __init__(self, opts, *args, **kwargs) -> None:
+        super().__init__(opts, *args, **kwargs)
+        if self.classes and all(c.isdigit() for c in self.classes):
+            # ImageFolder sorted lexicographically; relabel numerically
+            remap = {i: int(c) for i, c in enumerate(self.classes)}
+            self.samples = [(p, remap[t]) for p, t in self.samples]
+            self.classes = sorted(self.classes, key=int)
+
+
 @DATASET_REGISTRY.register(name="places365", type="classification")
 class Places365Dataset(BaseImageClassificationDataset):
     """Places365 scene classification (reference

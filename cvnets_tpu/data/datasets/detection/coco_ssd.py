@@ -17,8 +17,10 @@ from cvnets_tpu.data.datasets import DATASET_REGISTRY
 from cvnets_tpu.data.datasets.detection.coco_base import COCODetection
 from cvnets_tpu.data.transforms.common import Compose
 from cvnets_tpu.data.transforms.image import (
+    PhotometricDistort,
     RandomHorizontalFlip,
     Resize,
+    SSDCroping,
     ToFloatTensor,
 )
 from cvnets_tpu.models.anchor_generator import build_anchor_generator
@@ -51,9 +53,17 @@ class COCOSSDDataset(COCODetection):
         return np.concatenate(anchors, axis=0)
 
     def _transforms(self, size: Tuple[int, int]):
-        transforms = [Resize(self.opts, img_size=list(size))]
+        # reference train order (coco_ssd.py:104-124): SSDCroping →
+        # PhotometricDistort → Resize → flip; eval is resize-only
         if self.is_training:
-            transforms.append(RandomHorizontalFlip(self.opts))
+            transforms = [
+                SSDCroping(self.opts),
+                PhotometricDistort(self.opts),
+                Resize(self.opts, img_size=list(size)),
+                RandomHorizontalFlip(self.opts),
+            ]
+        else:
+            transforms = [Resize(self.opts, img_size=list(size))]
         transforms.append(ToFloatTensor(self.opts))
         return Compose(self.opts, transforms)
 

@@ -318,6 +318,133 @@ class RandomCrop(BaseTransformation):
         return data
 
 
+@TRANSFORMATIONS_REGISTRY.register(name="ssd_cropping", type="image_pil")
+class SSDCroping(BaseTransformation):
+    """SSD-paper IoU-constrained random crop (reference image_pil.py:1016):
+    pick a min-IoU option, sample a crop whose IoU with every kept box meets
+    it, keep boxes whose centers fall inside, translate/clip box coords."""
+
+    IOU_OPTIONS = (0.0, 0.1, 0.3, 0.5, 0.7, 0.9, None)  # None = keep original
+
+    def __init__(self, opts, trials: int = 40, **kwargs) -> None:
+        super().__init__(opts)
+        self.trials = trials
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument("--image-augmentation.ssd-crop.enable",
+                           action="store_true", default=False)
+        return parser
+
+    @staticmethod
+    def _iou(rect: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        lt = np.maximum(rect[:2], boxes[:, :2])
+        rb = np.minimum(rect[2:], boxes[:, 2:])
+        inter = np.prod(np.clip(rb - lt, 0, None), axis=1)
+        a_rect = (rect[2] - rect[0]) * (rect[3] - rect[1])
+        a_box = np.prod(np.clip(boxes[:, 2:] - boxes[:, :2], 0, None), axis=1)
+        return inter / np.maximum(a_rect + a_box - inter, 1e-8)
+
+    def __call__(self, data: Dict) -> Dict:
+        boxes = np.asarray(data.get("box_coordinates", np.zeros((0, 4))),
+                           np.float32)
+        if boxes.shape[0] == 0:
+            return data
+        img = _to_pil(data["image"])
+        labels = np.asarray(data.get("box_labels", np.zeros(len(boxes))),
+                            np.int64)
+        w, h = img.width, img.height
+        while True:
+            min_iou = random.choice(self.IOU_OPTIONS)
+            if min_iou is None:
+                return data
+            for _ in range(self.trials):
+                cw = random.uniform(0.3, 1.0) * w
+                ch = random.uniform(0.3, 1.0) * h
+                if not 0.5 < cw / ch < 2.0:
+                    continue
+                left = random.uniform(0, w - cw)
+                top = random.uniform(0, h - ch)
+                # integral rect so PIL's crop and the box translation agree
+                rect = np.array([int(left), int(top),
+                                 int(left + cw), int(top + ch)], np.float32)
+                if self._iou(rect, boxes).min() < min_iou:
+                    continue
+                centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+                keep = ((centers[:, 0] > rect[0]) & (centers[:, 0] < rect[2])
+                        & (centers[:, 1] > rect[1]) & (centers[:, 1] < rect[3]))
+                if not keep.any():
+                    continue
+                kept = boxes[keep].copy()
+                kept[:, :2] = np.maximum(kept[:, :2], rect[:2]) - rect[:2]
+                kept[:, 2:] = np.minimum(kept[:, 2:], rect[2:]) - rect[:2]
+                data["image"] = img.crop(tuple(int(v) for v in rect))
+                data["box_coordinates"] = kept
+                data["box_labels"] = labels[keep]
+                if "mask" in data and data["mask"] is not None:
+                    m = np.asarray(data["mask"])
+                    data["mask"] = m[int(rect[1]): int(rect[3]),
+                                     int(rect[0]): int(rect[2])]
+                return data
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="photo_metric_distort", type="image_pil")
+class PhotometricDistort(BaseTransformation):
+    """Random brightness/contrast/saturation/hue jitter for detection
+    (reference image_pil.py:1194; contrast applied first or last at random)."""
+
+    def __init__(self, opts, **kwargs) -> None:
+        super().__init__(opts)
+        self.p = getattr(opts, "image_augmentation.photo_metric_distort.p", 0.5)
+        self.brightness_delta = 32.0 / 255.0
+        self.contrast = (0.5, 1.5)
+        self.saturation = (0.5, 1.5)
+        self.hue_delta = 18  # degrees out of 360, scaled to the 0..255 H channel
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument("--image-augmentation.photo-metric-distort.enable",
+                           action="store_true", default=False)
+        group.add_argument("--image-augmentation.photo-metric-distort.p",
+                           type=float, default=0.5)
+        return parser
+
+    def _contrast(self, arr: np.ndarray) -> np.ndarray:
+        if random.random() < self.p:
+            arr = arr * random.uniform(*self.contrast)
+        return arr
+
+    def __call__(self, data: Dict) -> Dict:
+        arr = np.asarray(_to_pil(data["image"]), np.float32) / 255.0
+        if random.random() < self.p:
+            arr = arr + random.uniform(-self.brightness_delta,
+                                       self.brightness_delta)
+        contrast_first = random.random() < 0.5
+        if contrast_first:
+            arr = self._contrast(arr)
+        if random.random() < self.p or random.random() < self.p:
+            hsv = np.asarray(
+                Image.fromarray(
+                    (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                ).convert("HSV"), np.float32)
+            if random.random() < self.p:
+                hsv[..., 1] *= random.uniform(*self.saturation)
+            if random.random() < self.p:
+                shift = random.uniform(-self.hue_delta, self.hue_delta)
+                hsv[..., 0] = np.mod(hsv[..., 0] + shift * 255.0 / 360.0, 256.0)
+            arr = np.asarray(
+                Image.fromarray(
+                    np.clip(hsv, 0, 255).astype(np.uint8), "HSV").convert("RGB"),
+                np.float32) / 255.0
+        if not contrast_first:
+            arr = self._contrast(arr)
+        data["image"] = Image.fromarray(
+            (np.clip(arr, 0, 1) * 255).astype(np.uint8))
+        return data
+
+
 @TRANSFORMATIONS_REGISTRY.register(name="to_tensor", type="image_pil")
 class ToFloatTensor(BaseTransformation):
     """PIL/uint8 -> float32 HWC in [0,1] numpy (device transfer happens later;

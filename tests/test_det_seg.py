@@ -176,3 +176,139 @@ def test_iou_metric_perfect():
     logits = jax.nn.one_hot(target, 3) * 10.0
     m.update_values(jax.device_get(m.batch_values(logits, target)))
     assert abs(m.compute() - 100.0) < 1e-5
+
+
+def test_ssd_cropping_invariants():
+    """SSDCroping keeps only center-inside boxes, translated into crop frame
+    (reference image_pil.py:1016)."""
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    from cvnets_tpu.data.transforms.image import SSDCroping
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[])
+    t = SSDCroping(opts)
+    random.seed(3)
+    for _ in range(20):
+        data = {
+            "image": Image.new("RGB", (100, 80), (128, 10, 10)),
+            "box_coordinates": np.array(
+                [[10, 10, 40, 40], [60, 30, 90, 70]], np.float32),
+            "box_labels": np.array([1, 2], np.int64),
+        }
+        out = t(dict(data))
+        w, h = out["image"].size
+        boxes = np.asarray(out["box_coordinates"])
+        assert len(boxes) >= 1
+        assert (boxes[:, 0] >= 0).all() and (boxes[:, 1] >= 0).all()
+        assert (boxes[:, 2] <= w + 1e-3).all() and (boxes[:, 3] <= h + 1e-3).all()
+        assert (boxes[:, 2] > boxes[:, 0]).all()
+        assert len(out["box_labels"]) == len(boxes)
+
+
+def test_photometric_distort_shape_and_range():
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    from cvnets_tpu.data.transforms.image import PhotometricDistort
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[])
+    t = PhotometricDistort(opts)
+    random.seed(0)
+    img = Image.fromarray(
+        (np.random.default_rng(0).uniform(0, 255, (40, 50, 3))).astype("uint8"))
+    changed = False
+    for _ in range(8):
+        out = t({"image": img})["image"]
+        assert out.size == (50, 40)
+        arr = np.asarray(out)
+        assert arr.dtype == np.uint8
+        changed |= not np.array_equal(arr, np.asarray(img))
+    assert changed  # at least one draw actually jittered
+
+
+def test_imagenet_v2_numeric_folder_remap(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from cvnets_tpu.data.datasets import build_dataset_from_registry
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    root = tmp_path / "imagenetv2"
+    for cls in ("0", "1", "10"):
+        d = root / cls
+        d.mkdir(parents=True)
+        Image.new("RGB", (36, 36), (int(cls) % 255, 0, 0)).save(d / "a.jpg")
+    opts = get_training_arguments(args=[
+        "--dataset.name", "imagenet_v2",
+        "--dataset.category", "classification",
+        "--dataset.root-val", str(root),
+    ])
+    ds = build_dataset_from_registry(opts, is_training=False)
+    labels = sorted(t for _, t in ds.samples)
+    assert labels == [0, 1, 10]  # numeric, not lexicographic rank ("10" != 1)
+
+
+def _make_mini_coco(root, split="train", n=3):
+    import json
+    import os
+
+    from PIL import Image
+
+    img_dir = os.path.join(root, f"{split}2017")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    images, anns = [], []
+    for i in range(n):
+        fname = f"{i:012d}.jpg"
+        Image.new("RGB", (64, 48), (i * 40 % 255, 80, 10)).save(
+            os.path.join(img_dir, fname))
+        images.append({"id": i + 1, "file_name": fname,
+                       "width": 64, "height": 48})
+        anns.append({"id": 10 + i, "image_id": i + 1, "category_id": 7,
+                     "bbox": [5, 5, 30, 20], "iscrowd": 0, "area": 600})
+        anns.append({"id": 100 + i, "image_id": i + 1, "category_id": 3,
+                     "bbox": [30, 20, 20, 20], "iscrowd": 0, "area": 400})
+    blob = {"images": images, "annotations": anns,
+            "categories": [{"id": 3, "name": "cat"}, {"id": 7, "name": "dog"}]}
+    with open(os.path.join(root, "annotations",
+                           f"instances_{split}2017.json"), "w") as f:
+        json.dump(blob, f)
+
+
+def test_coco_ssd_dataset_end_to_end(tmp_path):
+    """coco_ssd through the real pipeline: stdlib-json index, SSDCroping +
+    PhotometricDistort train transforms, host anchor matching — fixed-size
+    per-anchor targets out."""
+    import numpy as np
+
+    from cvnets_tpu.data.datasets import build_dataset_from_registry
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    root = str(tmp_path / "coco")
+    _make_mini_coco(root, "train")
+    opts = get_training_arguments(args=[
+        "--dataset.name", "coco_ssd",
+        "--dataset.category", "detection",
+        "--dataset.root-train", root,
+    ])
+    setattr(opts, "anchor_generator.name", "ssd")
+    setattr(opts, "anchor_generator.ssd.output_strides", [16, 32, -1])
+    setattr(opts, "anchor_generator.ssd.aspect_ratios", [[2], [2], [2]])
+    setattr(opts, "matcher.name", "ssd")
+    ds = build_dataset_from_registry(opts, is_training=True)
+    assert len(ds) == 3
+    assert ds.share_dataset_arguments()["model.detection.n_classes"] == 3
+    out = ds[(64, 64, 0)]
+    assert out["samples"].shape == (64, 64, 3)
+    n_anchors = ds.generate_anchors(64, 64).shape[0]
+    assert out["targets"]["box_labels"].shape == (n_anchors,)
+    assert out["targets"]["box_coordinates"].shape == (n_anchors, 4)
+    assert (out["targets"]["box_labels"] > 0).sum() > 0  # something matched
+    assert np.isfinite(out["targets"]["box_coordinates"]).all()
