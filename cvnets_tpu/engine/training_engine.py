@@ -95,6 +95,7 @@ class Trainer:
         self.augment_fn = build_device_augmenter(opts)
 
         # BN momentum annealing hook (reference training_engine.py:120-129)
+        self._profile_state = None
         self.adjust_norm_mom = None
         if getattr(opts, "model.normalization.adjust_bn_momentum.enable", False):
             self.adjust_norm_mom = AdjustBatchNormMomentum(opts)
@@ -107,11 +108,21 @@ class Trainer:
         self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
         self.rng = rng
         if self.is_master_node:
-            from cvnets_tpu.models.base_model import count_parameters
+            from cvnets_tpu.models.base_model import count_parameters, forward_flops
 
+            flops = forward_flops(
+                model,
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats},
+                dummy,
+            )
+            dummy_bs = int(np.shape(
+                jax.tree_util.tree_leaves(dummy["samples"])[0])[0])
+            per_sample = (f" | fwd GFLOPs/sample: {flops / dummy_bs / 1e9:.2f}"
+                          if flops else "")
             logger.info(
                 f"Model: {model.__class__.__name__} | params:"
-                f" {count_parameters(self.state.params) / 1e6:.2f}M |"
+                f" {count_parameters(self.state.params) / 1e6:.2f}M{per_sample} |"
                 f" devices: {len(self.mesh.devices.flatten())}"
             )
 
@@ -152,7 +163,7 @@ class Trainer:
 
                 params, bs = load_model_weights(
                     finetune, jax.device_get(self.state.params),
-                    jax.device_get(self.state.batch_stats))
+                    jax.device_get(self.state.batch_stats), opts=opts)
             self.state = self.state.replace(
                 params=jax.device_put(params, replicated_sharding(self.mesh)),
                 batch_stats=jax.device_put(bs or {},
@@ -200,6 +211,30 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------ train
+    def _maybe_profile(self) -> None:
+        """Capture a jax.profiler trace of the first N post-warmup steps when
+        --common.profile-trace-dir is set (view with tensorboard/xprof)."""
+        trace_dir = getattr(self.opts, "common.profile_trace_dir", None)
+        if not trace_dir or getattr(self, "_profile_state", None) == "done":
+            return
+        n = getattr(self.opts, "common.profile_trace_steps", 5) or 5
+        # skip the compile step, trace steps 1..n+1
+        if self.train_iterations == 1 and self._profile_state is None:
+            jax.profiler.start_trace(trace_dir)
+            self._profile_state = "tracing"
+            logger.info(f"profiler trace started -> {trace_dir}")
+        elif self._profile_state == "tracing" and self.train_iterations > n:
+            self._stop_profile()
+
+    def _stop_profile(self) -> None:
+        if getattr(self, "_profile_state", None) != "tracing":
+            return
+        jax.block_until_ready(self.state.params)
+        jax.profiler.stop_trace()
+        self._profile_state = "done"
+        logger.info("profiler trace saved to"
+                    f" {getattr(self.opts, 'common.profile_trace_dir', None)}")
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         stats = Statistics(self.opts, self.train_metric_names, self.is_master_node)
         epoch_start = time.time()
@@ -229,6 +264,7 @@ class Trainer:
             bsz = int(np.asarray(first_leaf).shape[0])
             samples_seen += bsz
             self.train_iterations += 1
+            self._maybe_profile()
 
             if self.train_iterations % self.log_freq == 0:
                 host_metrics = jax.device_get(metrics)
@@ -243,6 +279,7 @@ class Trainer:
                 )
             batch_start = time.time()
         self._last_lr = self.scheduler.retrieve_lr(epoch, self.train_iterations)
+        self._stop_profile()  # short epochs: close the trace window here
         return stats.avg_statistics_all()
 
     # -------------------------------------------------------------------- val

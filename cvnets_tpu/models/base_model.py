@@ -62,3 +62,16 @@ class BaseAnyNNModel(nn.Module):
 
 def count_parameters(params) -> int:
     return sum(int(jnp.size(p)) for p in jax.tree_util.tree_leaves(params))
+
+
+def forward_flops(model, variables, dummy_batch) -> Optional[float]:
+    """Forward-pass FLOPs from XLA's cost model (reference prints fvcore MACs at
+    startup, base_model.py:182-245). Lowering only — no compile, no execution."""
+    try:
+        fn = jax.jit(lambda v, x: model.apply(v, x, training=False))
+        ca = fn.lower(variables, dummy_batch["samples"]).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops")) if ca else None
+    except Exception:
+        return None

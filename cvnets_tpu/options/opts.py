@@ -41,6 +41,12 @@ def arguments_common(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     group.add_argument("--common.accum-freq", type=int, default=1)
     group.add_argument("--common.accum-after-epoch", type=int, default=0)
     group.add_argument("--common.log-freq", type=int, default=100)
+    group.add_argument(
+        "--common.profile-trace-dir", type=str, default=None,
+        help="Capture a jax.profiler trace of the first few train steps into"
+             " this directory (TPU equivalent of the reference's fvcore/"
+             "autograd profiling hooks)")
+    group.add_argument("--common.profile-trace-steps", type=int, default=5)
     group.add_argument("--common.auto-resume", action="store_true")
     group.add_argument("--common.grad-clip", type=float, default=None)
     group.add_argument("--common.k-best-checkpoints", type=int, default=5)

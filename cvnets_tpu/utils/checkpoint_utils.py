@@ -196,16 +196,95 @@ def load_checkpoint(opts, state, save_dir: str):
     return state, epoch, iterations, best
 
 
-def load_model_weights(path: str, params, batch_stats=None):
-    """Load params-only checkpoint (finetune path)."""
+def _flatten_dict(tree, prefix="") -> Dict[str, Any]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_dict(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _merge_with_scopes(dst: Dict, src_flat: Dict[str, Any], opts,
+                       prefix: str = "") -> Tuple[Dict, List[str]]:
+    """Overlay flat ``src`` onto nested ``dst`` honoring the reference's finetune
+    scope surgery (cvnets/misc/common.py:54-109): ``--model.rename-scopes-map``
+    rewrites source keys, ``--model.resume-exclude-scopes`` keeps the fresh init
+    for matching keys, ``--model.ignore-missing-scopes`` silences keys the
+    checkpoint doesn't provide. Returns (merged, missing_unignored)."""
+    import re
+
+    rename_raw = (getattr(opts, "model.rename_scopes_map", None) or []) if opts else []
+    renames = []
+    for item in rename_raw:
+        if isinstance(item, (list, tuple)) and len(item) == 2:
+            renames.append((item[0], item[1]))
+        elif isinstance(item, str) and ":" in item:
+            pat, rep = item.split(":", 1)
+            renames.append((pat, rep))
+    if renames:
+        src_flat = {
+            _apply_renames(k, renames): v for k, v in src_flat.items()
+        }
+    exclude = (getattr(opts, "model.resume_exclude_scopes", "") or "") if opts else ""
+    ignore = (getattr(opts, "model.ignore_missing_scopes", "") or "") if opts else ""
+    exclude_res = [re.compile(p.strip()) for p in exclude.split(",") if p.strip()]
+    ignore_res = [re.compile(p.strip()) for p in ignore.split(",") if p.strip()]
+
+    missing: List[str] = []
+
+    def merge(node, pfx):
+        out = {}
+        for k, v in node.items():
+            key = f"{pfx}.{k}" if pfx else k
+            if isinstance(v, dict):
+                out[k] = merge(v, key)
+                continue
+            if any(r.search(key) for r in exclude_res):
+                out[k] = v  # excluded: keep fresh init
+                continue
+            if key in src_flat:
+                arr = np.asarray(src_flat[key])
+                if tuple(arr.shape) != tuple(np.shape(v)):
+                    # e.g. classifier head with a different n_classes: keep the
+                    # fresh init (reference requires excluding such scopes)
+                    logger.warning(
+                        f"Shape mismatch for '{key}': ckpt {arr.shape} vs model"
+                        f" {np.shape(v)}; keeping fresh init")
+                    out[k] = v
+                else:
+                    out[k] = arr.astype(v.dtype)
+            else:
+                out[k] = v
+                if not any(r.search(key) for r in ignore_res):
+                    missing.append(key)
+        return out
+
+    return merge(dst, prefix), missing
+
+
+def _apply_renames(key: str, renames) -> str:
+    import re
+
+    for pat, rep in renames:
+        key = re.sub(pat, rep, key)
+    return key
+
+
+def load_model_weights(path: str, params, batch_stats=None, opts=None):
+    """Load params-only checkpoint (finetune path) with regex scope surgery."""
     blob = load_pytree(path)
     src = blob.get("params", blob)
-    new_params = jax.tree_util.tree_map(
-        lambda t, r: np.asarray(r).astype(t.dtype), params, src
-    )
+    new_params, missing = _merge_with_scopes(params, _flatten_dict(src), opts)
+    if missing:
+        logger.warning(
+            f"Finetune checkpoint missing {len(missing)} parameter(s); keeping"
+            f" fresh init for e.g. {missing[:3]} (silence with"
+            " --model.ignore-missing-scopes)")
     new_bs = batch_stats
     if batch_stats is not None and blob.get("batch_stats"):
-        new_bs = jax.tree_util.tree_map(
-            lambda t, r: np.asarray(r).astype(t.dtype), batch_stats, blob["batch_stats"]
-        )
+        new_bs, _ = _merge_with_scopes(
+            batch_stats, _flatten_dict(blob["batch_stats"]), opts)
     return new_params, new_bs

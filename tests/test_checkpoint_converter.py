@@ -75,3 +75,40 @@ def test_convert_small_conv_bn_linear(tmp_path):
         t1 = tmodel[1](tmodel[0](t))
         t_out = tmodel[2](t1.mean(dim=(2, 3)))
     np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=1e-4)
+
+
+def test_finetune_scope_surgery(tmp_path):
+    """load_model_weights honors rename / exclude / ignore-missing scopes and
+    keeps fresh init on shape mismatch (reference cvnets/misc/common.py:54-109)."""
+    import argparse
+
+    import numpy as np
+
+    from cvnets_tpu.utils.checkpoint_utils import load_model_weights, save_pytree
+
+    ckpt = {
+        "params": {
+            "encoder": {"w": np.full((3, 3), 2.0, np.float32)},
+            "old_head": {"fc": np.full((3, 5), 7.0, np.float32)},
+            "mismatch": {"w": np.zeros((9, 9), np.float32)},
+        }
+    }
+    path = str(tmp_path / "weights.ckpt")
+    save_pytree(path, ckpt)
+
+    model_params = {
+        "encoder": {"w": np.zeros((3, 3), np.float32)},
+        "head": {"fc": np.ones((3, 5), np.float32)},      # renamed from old_head
+        "classifier": {"b": np.ones((4,), np.float32)},   # not in ckpt: ignored
+        "mismatch": {"w": np.ones((2, 2), np.float32)},   # shape mismatch: init
+    }
+    opts = argparse.Namespace()
+    setattr(opts, "model.rename_scopes_map", ["old_head:head"])
+    setattr(opts, "model.resume_exclude_scopes", "encoder")
+    setattr(opts, "model.ignore_missing_scopes", "classifier")
+
+    out, _ = load_model_weights(path, model_params, opts=opts)
+    assert (out["encoder"]["w"] == 0).all()      # excluded -> fresh init
+    assert (out["head"]["fc"] == 7).all()        # renamed ckpt key applied
+    assert (out["classifier"]["b"] == 1).all()   # missing but ignored
+    assert out["mismatch"]["w"].shape == (2, 2)  # mismatch -> fresh init
