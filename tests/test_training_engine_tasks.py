@@ -93,3 +93,54 @@ def test_trainer_segmentation_one_epoch(tmp_path):
     assert trainer.train_iterations > 0
     val_stats = trainer.val_epoch(0)
     assert "iou" in val_stats
+
+
+def test_trainer_clip_one_epoch(tmp_path):
+    """CLIP through the real Trainer: dict samples (image+text), contrastive
+    loss over the global batch (the reference's cross-rank all_gather collapses
+    into GSPMD data sharding)."""
+    import tests.dummy_datasets.multi_modal  # noqa: F401
+
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--dataset.name", "dummy_img_text",
+        "--dataset.category", "multi_modal_image_text",
+        "--dataset.train-batch-size0", "2",
+        "--dataset.val-batch-size0", "2",
+        "--dataset.workers", "0",
+        "--model.classification.name", "mobilenetv2",
+        "--sampler.name", "batch_sampler",
+        "--sampler.bs.crop-size-width", "32",
+        "--sampler.bs.crop-size-height", "32",
+        "--loss.category", "multi_modal_image_text",
+        "--scheduler.name", "cosine",
+        "--scheduler.max-epochs", "1",
+        "--common.log-freq", "1",
+        "--common.results-loc", str(tmp_path),
+    ])
+    setattr(opts, "model.multi_modal_image_text.name", "clip")
+    setattr(opts, "model.text.name", "transformer")
+    setattr(opts, "model.text.vocab_size", 100)
+    setattr(opts, "model.text.context_length", 16)
+    setattr(opts, "model.text.transformer.model_dim", 64)
+    setattr(opts, "model.text.transformer.n_transformer_layers", 2)
+    setattr(opts, "model.text.transformer.n_heads_per_layer", [4])
+    setattr(opts, "model.text.transformer.causal_masking", True)
+    setattr(opts, "model.multi_modal_image_text.clip.projection_dim", 32)
+    setattr(opts, "loss.multi_modal_image_text.name", "contrastive_loss_clip")
+    setattr(opts, "scheduler.cosine.max_lr", 0.001)
+    setattr(opts, "scheduler.cosine.min_lr", 0.0001)
+
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    trainer.run()
+    assert trainer.train_iterations > 0
