@@ -177,6 +177,12 @@ def get_benchmarking_arguments(args: Optional[List[str]] = None):
     group.add_argument("--benchmark.warmup-iter", type=int, default=10)
     group.add_argument("--benchmark.n-iter", type=int, default=100)
     group.add_argument("--benchmark.use-jit-model", action="store_true")
+    group.add_argument(
+        "--benchmark.data-pipeline", action="store_true", default=False,
+        help="Benchmark host preprocess throughput (JPEG decode + train"
+             " transforms + collate) instead of model inference")
+    group.add_argument("--benchmark.data-pipeline-samples", type=int,
+                       default=512)
     return parser_to_opts(parser, args=args)
 
 
