@@ -144,3 +144,47 @@ def test_trainer_clip_one_epoch(tmp_path):
                       train_sampler=train_sampler)
     trainer.run()
     assert trainer.train_iterations > 0
+
+
+def test_trainer_distillation_one_epoch(tmp_path):
+    """Soft-KL distillation through the real Trainer: the frozen teacher
+    (cloned from --teacher.model.* opts) runs inside the jit'd loss."""
+    import tests.dummy_datasets.classification  # noqa: F401
+
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--dataset.name", "dummy_classification",
+        "--dataset.category", "classification",
+        "--dataset.train-batch-size0", "2",
+        "--dataset.val-batch-size0", "2",
+        "--dataset.workers", "0",
+        "--model.classification.name", "mobilenetv1",
+        "--model.classification.n-classes", "10",
+        "--teacher.model.classification.name", "mobilenetv2",
+        "--teacher.model.classification.n-classes", "10",
+        "--sampler.name", "batch_sampler",
+        "--sampler.bs.crop-size-width", "32",
+        "--sampler.bs.crop-size-height", "32",
+        "--loss.category", "distillation",
+        "--loss.distillation.name", "soft_kl_loss",
+        "--scheduler.name", "cosine",
+        "--scheduler.max-epochs", "1",
+        "--common.log-freq", "1",
+        "--common.results-loc", str(tmp_path),
+    ])
+    setattr(opts, "scheduler.cosine.max_lr", 0.01)
+    setattr(opts, "scheduler.cosine.min_lr", 0.001)
+
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    trainer.run()
+    assert trainer.train_iterations > 0
