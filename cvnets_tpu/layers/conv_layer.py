@@ -1,6 +1,6 @@
 """Conv + Norm + Act composite layers (parity: reference cvnets/layers/conv_layer.py).
 
-NHWC layout; padding follows the reference convention ``(kernel // 2) * dilation`` on
+NHWC layout; padding follows the reference convention ``((kernel - 1) // 2) * dilation`` on
 each side, which equals SAME for odd kernels and stride-1, and matches torch's
 behavior for stride-2 downsampling.
 """
@@ -48,7 +48,7 @@ class ConvLayer2d(nn.Module):
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         k = _pair(self.kernel_size)
         d = _pair(self.dilation)
-        pad = tuple((kk // 2 * dd, kk // 2 * dd) for kk, dd in zip(k, d))
+        pad = tuple(((kk - 1) // 2 * dd, (kk - 1) // 2 * dd) for kk, dd in zip(k, d))
         x = nn.Conv(
             features=self.out_channels,
             kernel_size=k,

@@ -43,9 +43,18 @@ class MultiHeadAttention(nn.Module):
 
         qkv_init = linear_init(self.opts)
         dt = compute_dtype(self.opts)
-        q = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="q_proj")(x_q)
-        k = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="k_proj")(x_kv)
-        v = nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="v_proj")(x_kv)
+        # One fused qkv projection (reference multi_head_attention.py keeps a single
+        # qkv_proj Linear): a single (d, 3d) matmul tiles better on the MXU than three
+        # (d, d) ones, and keeps torch-checkpoint enumeration order identical.
+        qkv_proj = nn.Dense(
+            3 * d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="qkv_proj"
+        )
+        if x_kv is x_q:
+            q, k, v = jnp.split(qkv_proj(x_q), 3, axis=-1)
+        else:
+            q = qkv_proj(x_q)[..., :d]
+            kv = qkv_proj(x_kv)
+            k, v = kv[..., d:2 * d], kv[..., 2 * d:]
 
         b, nq, _ = q.shape
         nk = k.shape[1]

@@ -37,6 +37,7 @@ def get_normalization_layer(
     num_features: Optional[int] = None,
     norm_type: Optional[str] = None,
     num_groups: Optional[int] = None,
+    eps: float = 1e-5,
 ):
     """Build a linen normalization module from opts.
 
@@ -65,24 +66,30 @@ def get_normalization_layer(
     # fail under jit with "unbound axis name".
     if norm_type in ("batch_norm", "batch_norm_2d", "batch_norm_1d", "batch_norm_3d",
                      "sync_batch_norm"):
-        return nn.BatchNorm(momentum=flax_momentum, epsilon=1e-5,
+        return nn.BatchNorm(momentum=flax_momentum, epsilon=eps,
                             use_running_average=None, dtype=dt)
     if norm_type == "sync_batch_norm_fp32":
-        return nn.BatchNorm(momentum=flax_momentum, epsilon=1e-5,
+        return nn.BatchNorm(momentum=flax_momentum, epsilon=eps,
                             use_running_average=None, dtype=jnp.float32)
-    if norm_type in ("layer_norm", "layer_norm_2d"):
-        # layer_norm_2d normalizes NCHW channels; identical to trailing-axis LN in NHWC
-        return nn.LayerNorm(epsilon=1e-5, dtype=dt)
+    if norm_type == "layer_norm":
+        # reference LayerNorm on channel-first tensors normalizes over the channel
+        # dim only (layer_norm.py:53-66) == trailing-axis LN in NHWC
+        return nn.LayerNorm(epsilon=eps, dtype=dt, use_fast_variance=False)
+    if norm_type == "layer_norm_2d":
+        # reference LayerNorm2D_NCHW *extends GroupNorm(num_groups=1)*
+        # (layer_norm.py:77): statistics over channels AND spatial dims jointly,
+        # per-channel affine — NOT a channel-only LN
+        return nn.GroupNorm(num_groups=1, epsilon=eps, dtype=dt, use_fast_variance=False)
     if norm_type == "layer_norm_fp32":
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        return nn.LayerNorm(epsilon=eps, dtype=jnp.float32, use_fast_variance=False)
     if norm_type == "group_norm":
         n_groups = num_groups if num_groups is not None else getattr(
             opts, "model.normalization.groups", 32
         )
-        return nn.GroupNorm(num_groups=int(n_groups), epsilon=1e-5)
+        return nn.GroupNorm(num_groups=int(n_groups), epsilon=eps, use_fast_variance=False)
     if norm_type in ("instance_norm", "instance_norm_2d"):
         # instance norm == group norm with one channel per group
-        return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5)
+        return nn.GroupNorm(num_groups=None, group_size=1, epsilon=eps, use_fast_variance=False)
     if norm_type == "identity":
         return None
     logger.error(

@@ -27,11 +27,23 @@ def _sinusoidal_table(num_embeddings: int, dim: int) -> jnp.ndarray:
 
 
 def interpolate_pos_embed(pos: jnp.ndarray, target_len: int) -> jnp.ndarray:
-    """Linearly resample a (L, D) table to (target_len, D) (static shapes only)."""
+    """Linearly resample a (L, D) table to (target_len, D) (static shapes only).
+
+    Matches torch ``F.interpolate(mode="bilinear", align_corners=False)`` exactly:
+    half-pixel coordinate mapping and NO anti-aliasing on downscale
+    (``jax.image.resize`` anti-aliases when shrinking, which diverges from the
+    reference checkpoints' semantics — reference positional_embedding.py:90-95).
+    """
     src_len = pos.shape[0]
     if src_len == target_len:
         return pos
-    return jax.image.resize(pos, (target_len, pos.shape[1]), method="linear")
+    scale = src_len / target_len
+    coords = (jnp.arange(target_len, dtype=jnp.float32) + 0.5) * scale - 0.5
+    coords = jnp.clip(coords, 0.0, src_len - 1)
+    lo = jnp.floor(coords).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, src_len - 1)
+    w = (coords - lo.astype(jnp.float32))[:, None]
+    return pos[lo] * (1.0 - w) + pos[hi] * w
 
 
 class PositionalEmbedding(nn.Module):

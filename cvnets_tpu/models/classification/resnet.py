@@ -10,7 +10,6 @@ import flax.linen as nn
 import numpy as np
 
 from cvnets_tpu.layers.conv_layer import ConvLayer2d
-from cvnets_tpu.layers.pool import MaxPool2d
 from cvnets_tpu.models import MODEL_REGISTRY
 from cvnets_tpu.models.classification.base_image_encoder import (
     BaseImageEncoder,
@@ -36,6 +35,9 @@ class ResNet(BaseImageEncoder):
                            type=float, default=0.0)
         group.add_argument("--model.classification.resnet.se-resnet",
                            action="store_true", default=False)
+        group.add_argument("--model.classification.resnet.dropout", type=float,
+                           default=0.0,
+                           help="per-block dropout (reference resnet.py:248)")
         return parser
 
     def setup(self) -> None:
@@ -43,11 +45,16 @@ class ResNet(BaseImageEncoder):
         cfg = get_configuration(opts)
         sd_prob = getattr(opts, "model.classification.resnet.stochastic_depth_prob",
                           0.0) or 0.0
+        block_dropout = getattr(opts, "model.classification.resnet.dropout", 0.0) or 0.0
 
-        self.conv_1 = ConvLayer2d(opts=opts, out_channels=64, kernel_size=7, stride=2,
+        # reference resnet.py:27-28 — CVNets' ResNet replaces the classic 7x7
+        # stem with a 3x3 strided conv, and MaxPool with a 3x3 strided
+        # depthwise conv (both norm+act)
+        self.conv_1 = ConvLayer2d(opts=opts, out_channels=64, kernel_size=3, stride=2,
                                   use_norm=True, use_act=True)
         conf = {"conv1": {"in": 3, "out": 64}}
-        self.layer_1 = MaxPool2d(kernel_size=3, stride=2, padding=1)
+        self.layer_1 = ConvLayer2d(opts=opts, out_channels=64, kernel_size=3, stride=2,
+                                   groups=64, use_norm=True, use_act=True)
         conf["layer1"] = {"in": 64, "out": 64}
 
         total_blocks = sum(cfg[f"layer{i}"]["num_blocks"] for i in range(2, 6))
@@ -79,7 +86,7 @@ class ResNet(BaseImageEncoder):
                     opts=opts, in_channels=in_ch, mid_channels=c["mid_channels"],
                     out_channels=out_ch, stride=s, dilation=dilation,
                     squeeze_channels=c.get("squeeze_channels"),
-                    stochastic_depth_prob=p,
+                    stochastic_depth_prob=p, dropout=block_dropout,
                 ))
                 in_ch = out_ch
                 block_idx += 1

@@ -111,9 +111,10 @@ class VisionTransformer(BaseImageEncoder):
                 dropout=cfg["dropout"], ffn_dropout=cfg["ffn_dropout"],
                 transformer_norm_layer=cfg["norm_layer"],
                 stochastic_dropout=sd_prob * i / max(n_layers - 1, 1),
+                norm_eps=1e-6,  # reference vit.py:204-208 forces 1e-6 on all LNs
                 name=f"transformer_{i}",
             )(tokens, None, None, None, training)
-        norm = get_normalization_layer(opts, norm_type=cfg["norm_layer"])
+        norm = get_normalization_layer(opts, norm_type=cfg["norm_layer"], eps=1e-6)
         tokens = norm.copy(name="post_transformer_norm")(tokens)
 
         if use_cls_token:

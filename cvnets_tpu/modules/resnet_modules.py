@@ -21,6 +21,7 @@ class BasicResNetBlock(nn.Module):
     dilation: int = 1
     squeeze_channels: Optional[int] = None
     stochastic_depth_prob: float = 0.0
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -30,6 +31,8 @@ class BasicResNetBlock(nn.Module):
         y = ConvLayer2d(opts=self.opts, out_channels=self.out_channels, kernel_size=3,
                         dilation=self.dilation, use_norm=True, use_act=False,
                         name="conv2")(y, training=training)
+        if 0.0 < self.dropout < 1.0:
+            y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
         if self.squeeze_channels:
             y = SqueezeExcitation(opts=self.opts, in_channels=self.out_channels,
                                   squeeze_factor=self.out_channels // self.squeeze_channels,
@@ -54,6 +57,7 @@ class BottleneckResNetBlock(nn.Module):
     dilation: int = 1
     squeeze_channels: Optional[int] = None
     stochastic_depth_prob: float = 0.0
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -64,6 +68,8 @@ class BottleneckResNetBlock(nn.Module):
                         use_norm=True, use_act=True, name="conv2")(y, training=training)
         y = ConvLayer2d(opts=self.opts, out_channels=self.out_channels, kernel_size=1,
                         use_norm=True, use_act=False, name="conv3")(y, training=training)
+        if 0.0 < self.dropout < 1.0:
+            y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
         if self.squeeze_channels:
             y = SqueezeExcitation(opts=self.opts, in_channels=self.out_channels,
                                   squeeze_factor=self.out_channels // self.squeeze_channels,

@@ -20,8 +20,8 @@ from cvnets_tpu.layers.multi_head_attention import MultiHeadAttention
 from cvnets_tpu.layers.normalization import get_normalization_layer
 
 
-def _norm(opts, norm_layer: Optional[str], name: str):
-    norm = get_normalization_layer(opts, norm_type=norm_layer)
+def _norm(opts, norm_layer: Optional[str], name: str, eps: float = 1e-5):
+    norm = get_normalization_layer(opts, norm_type=norm_layer, eps=eps)
     if norm is None:
         return lambda x: x
     return norm.copy(name=name)
@@ -40,6 +40,9 @@ class TransformerEncoder(nn.Module):
     transformer_norm_layer: str = "layer_norm"
     act_name: Optional[str] = None
     stochastic_dropout: float = 0.0
+    # reference ViT forces 1e-6 on every LayerNorm (vit.py:204-208); default
+    # elsewhere is the torch LayerNorm default 1e-5
+    norm_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_prev: Optional[jnp.ndarray] = None,
@@ -50,7 +53,7 @@ class TransformerEncoder(nn.Module):
 
         dt = compute_dtype(self.opts)
         # attention
-        y = _norm(self.opts, self.transformer_norm_layer, "pre_norm_mha")(x)
+        y = _norm(self.opts, self.transformer_norm_layer, "pre_norm_mha", self.norm_eps)(x)
         y = MultiHeadAttention(
             opts=self.opts, embed_dim=self.embed_dim, num_heads=self.num_heads,
             attn_dropout=self.attn_dropout, name="mha",
@@ -62,7 +65,7 @@ class TransformerEncoder(nn.Module):
             y = StochasticDepth(p=self.stochastic_dropout)(y, training=training)
         x = x + y
         # ffn
-        y = _norm(self.opts, self.transformer_norm_layer, "pre_norm_ffn")(x)
+        y = _norm(self.opts, self.transformer_norm_layer, "pre_norm_ffn", self.norm_eps)(x)
         y = nn.Dense(self.ffn_latent_dim, kernel_init=linear_init(self.opts),
                      dtype=dt, name="ffn_fc1")(y)
         act = build_act_layer(self.opts, act_name=self.act_name)

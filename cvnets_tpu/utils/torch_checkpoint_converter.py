@@ -37,23 +37,47 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             for k, v in blob.items()}
 
 
-def _convert_weight(name: str, w: np.ndarray, target_shape: Tuple[int, ...]
+def _convert_weight(flax_name: str, w: np.ndarray, target_shape: Tuple[int, ...]
                     ) -> Optional[np.ndarray]:
-    """Try to transform a torch tensor to the target flax leaf shape."""
+    """Transform a torch tensor to the target flax leaf shape.
+
+    The transform is decided by the *flax leaf name*, never by shape luck: a
+    flax ``kernel`` always demands the torch→flax layout transpose (OIHW→HWIO
+    for conv, (out,in)→(in,out) for linear) even when the raw shape happens to
+    match already (square layers would otherwise load transposed — advisor
+    finding r1#1). Shape fallback applies only to non-kernel leaves.
+    """
+    leaf = flax_name.rsplit("/", 1)[-1]
+    if leaf == "kernel":
+        if w.ndim == 4:
+            if len(target_shape) == 2 and w.shape[2:] == (1, 1):
+                # reference implements some projections as 1x1 convs (e.g. the
+                # MobileViTv2 separable-attention qkv) where we use a Dense
+                t = w[:, :, 0, 0].T
+                return t if t.shape == target_shape else None
+            # conv OIHW -> HWIO (depthwise (O,1,kH,kW) -> (kH,kW,1,O) too)
+            t = w.transpose(2, 3, 1, 0)
+            return t if t.shape == target_shape else None
+        if w.ndim == 2:  # linear (out, in) -> (in, out)
+            t = w.T
+            return t if t.shape == target_shape else None
+        if w.ndim == 3:  # conv1d OIW -> WIO
+            t = w.transpose(2, 1, 0)
+            return t if t.shape == target_shape else None
+        if w.ndim == 5:  # conv3d OIDHW -> DHWIO
+            t = w.transpose(2, 3, 4, 1, 0)
+            return t if t.shape == target_shape else None
+        return None
+    # non-kernel leaves (bias/scale/embedding tables/pos-embeds/...): exact shape
     if w.shape == target_shape:
         return w
-    if w.ndim == 4:  # conv OIHW -> HWIO
-        t = w.transpose(2, 3, 1, 0)
-        if t.shape == target_shape:
-            return t
-        # depthwise flax layout (kH, kW, 1, O) vs torch (O, 1, kH, kW)
-        t2 = w.transpose(2, 3, 1, 0)
-        if t2.shape == target_shape:
-            return t2
+    # embeddings or projection tables stored transposed
     if w.ndim == 2 and w.T.shape == target_shape:
         return w.T
-    if w.ndim == 1 and target_shape == w.shape:
-        return w
+    if w.shape == tuple(s for s in target_shape if s != 1) and np.prod(
+        w.shape, dtype=np.int64
+    ) == np.prod(target_shape, dtype=np.int64):
+        return w.reshape(target_shape)
     return None
 
 
@@ -134,28 +158,74 @@ def convert_torch_checkpoint(
     f_params = _flatten(params)
     new_flat: Dict[str, np.ndarray] = {}
     unmatched: List[str] = []
-    used = [False] * len(t_params)
 
+    # Pre-pass: distinctive singleton tensors (pos_embed, cls_token, ...) can sit at
+    # different positions in the two enumerations (torch registers buffers/params in
+    # __init__ order, flax in first-use order). When a token identifies exactly one
+    # tensor on each side, pair them by name before the order-based walk.
+    DISTINCTIVE = (
+        "pos_embed", "cls_token", "logit_scale", "class_embedding",
+        "post_transformer_norm",
+    )
+    pre_matched_f: set = set()
+    pre_matched_t: set = set()
+    for token in DISTINCTIVE:
+        f_hits = [i for i, (n, _) in enumerate(f_params) if token in n]
+        t_hits = [i for i, (n, _) in enumerate(t_params) if token in n]
+        if not f_hits or len(f_hits) != len(t_hits):
+            continue
+        for fi, ti in zip(f_hits, t_hits):
+            fname, fleaf = f_params[fi]
+            tname, tval = t_params[ti]
+            target_shape = tuple(np.asarray(fleaf).shape)
+            cand = _convert_weight(fname, tval, target_shape)
+            if cand is None and np.prod(tval.shape, dtype=np.int64) == np.prod(
+                target_shape, dtype=np.int64
+            ):
+                cand = tval.reshape(target_shape)
+            if cand is not None:
+                new_flat[fname] = cand.astype(np.asarray(fleaf).dtype)
+                pre_matched_f.add(fi)
+                pre_matched_t.add(ti)
+    if pre_matched_f:
+        f_params = [f for i, f in enumerate(f_params) if i not in pre_matched_f]
+        t_params = [t for i, t in enumerate(t_params) if i not in pre_matched_t]
+
+    # True two-pointer walk (advisor finding r1#2): both frameworks enumerate
+    # modules in definition order, so the pointer over torch tensors only ever
+    # advances. A bounded lookahead tolerates torch-only tensors (e.g. buffers
+    # we do not model); a miss inside the window is reported as a desync
+    # instead of silently grabbing an earlier same-shaped tensor.
+    LOOKAHEAD = 8
+    ptr = 0
+    skipped_torch: List[str] = []
     for fname, fleaf in f_params:
         target_shape = tuple(np.asarray(fleaf).shape)
         role = flax_role(fname)
         found = None
-        for look, (tname, tval) in enumerate(t_params):
-            if used[look]:
-                continue
+        found_at = None
+        for off in range(LOOKAHEAD):
+            idx = ptr + off
+            if idx >= len(t_params):
+                break
+            tname, tval = t_params[idx]
             t_role = torch_role(tname)
             if role != "other" and t_role != "other" and role != t_role:
                 continue
-            cand = _convert_weight(tname, tval, target_shape)
+            cand = _convert_weight(fname, tval, target_shape)
             if cand is not None:
                 found = cand
-                used[look] = True
+                found_at = idx
                 break
         if found is None:
-            unmatched.append(f"flax:{fname} shape={target_shape}")
+            unmatched.append(f"flax:{fname} shape={target_shape} (desync at torch#{ptr})")
             new_flat[fname] = np.asarray(fleaf)
         else:
+            skipped_torch.extend(t_params[i][0] for i in range(ptr, found_at))
             new_flat[fname] = found.astype(np.asarray(fleaf).dtype)
+            ptr = found_at + 1
+    unmatched.extend(f"torch:{n} (skipped)" for n in skipped_torch)
+    unmatched.extend(f"torch:{n} (trailing)" for n, _ in t_params[ptr:])
     new_params = _unflatten(new_flat, params)
 
     new_bs = batch_stats
@@ -164,12 +234,25 @@ def convert_torch_checkpoint(
         means = [f for f in f_bs if f[0].endswith("mean")]
         vars_ = [f for f in f_bs if f[0].endswith("var")]
         bs_flat = {}
-        for i, (fname, fleaf) in enumerate(means):
-            bs_flat[fname] = (t_means[i][1] if i < len(t_means)
-                              else np.asarray(fleaf)).astype(np.float32)
-        for i, (fname, fleaf) in enumerate(vars_):
-            bs_flat[fname] = (t_vars[i][1] if i < len(t_vars)
-                              else np.asarray(fleaf)).astype(np.float32)
+        for role_name, flax_side, torch_side in (
+            ("running_mean", means, t_means),
+            ("running_var", vars_, t_vars),
+        ):
+            for i, (fname, fleaf) in enumerate(flax_side):
+                fallback = np.asarray(fleaf)
+                if i < len(torch_side):
+                    tname, tval = torch_side[i]
+                    if tuple(tval.shape) != tuple(fallback.shape):
+                        unmatched.append(
+                            f"batch_stats desync: flax:{fname} {fallback.shape}"
+                            f" vs torch:{tname} {tuple(tval.shape)}"
+                        )
+                        bs_flat[fname] = fallback.astype(np.float32)
+                    else:
+                        bs_flat[fname] = tval.astype(np.float32)
+                else:
+                    unmatched.append(f"batch_stats missing torch {role_name} for {fname}")
+                    bs_flat[fname] = fallback.astype(np.float32)
         new_bs = _unflatten(bs_flat, batch_stats)
     return new_params, new_bs, unmatched
 
