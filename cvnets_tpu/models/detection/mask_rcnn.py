@@ -278,7 +278,12 @@ class MaskRCNNDetector(BaseDetection):
                 n_mask = self._cfg("mask_positives", 32)
                 gt_masks = targets.get("masks")  # (B, MAX_GT, Hm, Wm) or None
 
-                def mask_loss_one(boxes_i, pos_i, midx_i, labels_i, gtm_i, *fms_i):
+                # NOTE: only PURE functions (roi-align gathers) run under
+                # jax.vmap — the flax mask_head (stateful BN) is applied ONCE
+                # on the flattened rois outside, otherwise its batch_stats
+                # mutation leaks a vmap tracer.
+                def gather_mask_rois(boxes_i, pos_i, midx_i, labels_i,
+                                     gtm_i, *fms_i):
                     # fixed n_mask positive slots via randomized rank
                     score = jnp.where(pos_i, 1.0, -1.0) \
                         + jax.lax.iota(jnp.float32, boxes_i.shape[0]) * 1e-6
@@ -287,14 +292,10 @@ class MaskRCNNDetector(BaseDetection):
                     mb = boxes_i[take]
                     feats_m = multiscale_roi_align(list(fms_i), mb, strides,
                                                    output_size=(14, 14))
-                    mlogits = self.mask_head(feats_m, training=training)
-                    # (n_mask, 28, 28, n_cls) -> per-roi class channel
                     lab = labels_i[take].clip(0)
-                    sel = jnp.take_along_axis(
-                        mlogits, lab[:, None, None, None], axis=-1).squeeze(-1)
                     # gt mask crop: roi-align the full gt mask to 28x28
                     gidx = midx_i[take]
-                    gm = gtm_i[gidx].astype(jnp.float32)[..., None]  # (n, H, W, 1)
+                    gm = gtm_i[gidx].astype(jnp.float32)[..., None]
                     # gt masks may be stored at reduced resolution
                     mask_stride = img_hw[0] / gtm_i.shape[1]
                     tgt = jax.vmap(
@@ -302,19 +303,61 @@ class MaskRCNNDetector(BaseDetection):
                             [m], bx[None], [mask_stride],
                             output_size=(28, 28))[0, ..., 0]
                     )(gm, mb)
-                    import optax
-
-                    ls = optax.sigmoid_binary_cross_entropy(
-                        sel.astype(jnp.float32), (tgt > 0.5).astype(jnp.float32))
-                    per_roi = jnp.mean(ls, axis=(1, 2))
-                    return jnp.sum(per_roi * valid) / jnp.maximum(
-                        jnp.sum(valid), 1.0)
+                    return feats_m, valid, lab, tgt
 
                 if gt_masks is not None:
-                    m_l = jax.vmap(mask_loss_one)(
+                    import optax
+
+                    feats_m, m_valid, m_lab, m_tgt = jax.vmap(gather_mask_rois)(
                         s_boxes, s_pos, s_midx, s_labels, gt_masks, *fms)
-                    losses["loss_mask"] = jnp.mean(m_l)
+                    bm, nm = feats_m.shape[:2]
+                    mlogits = self.mask_head(
+                        feats_m.reshape((bm * nm,) + feats_m.shape[2:]),
+                        training=training)
+                    sel = jnp.take_along_axis(
+                        mlogits, m_lab.reshape(-1)[:, None, None, None],
+                        axis=-1).squeeze(-1)
+                    ls = optax.sigmoid_binary_cross_entropy(
+                        sel.astype(jnp.float32),
+                        (m_tgt.reshape(sel.shape) > 0.5).astype(jnp.float32))
+                    per_roi = jnp.mean(ls, axis=(1, 2))
+                    valid_f = m_valid.reshape(-1).astype(jnp.float32)
+                    losses["loss_mask"] = jnp.sum(per_roi * valid_f) / \
+                        jnp.maximum(jnp.sum(valid_f), 1.0)
         return scores, deltas, s_boxes, losses
+
+    # --------------------------------------------------------- detection core
+    def _detect_one(self, raw_scores, raw_deltas, proposals, img_hw):
+        """Decode + score-filter + class-aware NMS for ONE image (static shapes).
+        Returns (labels, scores, boxes) padded to detections_per_image."""
+        scores = jax.nn.softmax(raw_scores.astype(jnp.float32), axis=-1)
+        boxes = decode_boxes(
+            raw_deltas.astype(jnp.float32),
+            proposals[:, None, :],
+            weights=(10.0, 10.0, 5.0, 5.0),
+        )  # (N, C, 4)
+        n, c = scores.shape
+        fg = scores[:, 1:].reshape(-1)
+        fg_boxes = boxes[:, 1:].reshape(-1, 4)
+        cls_ids = jnp.tile(jnp.arange(1, c), (n,))
+        k = min(self._cfg("detections_per_image", 100) * 4, fg.shape[0])
+        top_scores, idx = jax.lax.top_k(fg, k)
+        valid = top_scores > self._cfg("score_threshold", 0.05)
+        cand_scores = jnp.where(valid, top_scores, -jnp.inf)
+        keep_idx, keep_scores = batched_nms(
+            fg_boxes[idx], cand_scores, cls_ids[idx], iou_threshold=0.5,
+            max_output=self._cfg("detections_per_image", 100))
+        safe = jnp.maximum(keep_idx, 0)
+        h, w = img_hw
+        out_boxes = jnp.clip(
+            fg_boxes[idx][safe],
+            jnp.asarray([0.0, 0.0, 0.0, 0.0]),
+            jnp.asarray([w, h, w, h], jnp.float32))
+        out_scores = jnp.where(
+            keep_idx >= 0,
+            jnp.where(jnp.isfinite(keep_scores), keep_scores, 0.0), 0.0)
+        out_labels = jnp.where(keep_idx >= 0, cls_ids[idx][safe], 0)
+        return out_labels, out_scores, out_boxes
 
     # ---------------------------------------------------------------- forward
     def __call__(self, x: jnp.ndarray, targets: Optional[Dict] = None,
@@ -337,40 +380,50 @@ class MaskRCNNDetector(BaseDetection):
         }
         if training:
             out["losses"] = {**rpn_losses, **head_losses}
+        else:
+            # full inference inside the compiled program: decode + NMS + mask head
+            # (reference mask_rcnn.py:841-924 returns boxes AND masks)
+            det_labels, det_scores, det_boxes = jax.vmap(
+                lambda s, d, p: self._detect_one(s, d, p, img_hw)
+            )(scores, deltas, used_boxes)
+            out["det_labels"] = det_labels
+            out["det_scores"] = det_scores
+            out["det_boxes"] = det_boxes
+            if self.use_mask:
+                # vmap only the pure roi-align; apply the (stateful) mask head
+                # once on the flattened rois
+                feats_m = jax.vmap(
+                    lambda boxes_i, *fms_i: multiscale_roi_align(
+                        list(fms_i), boxes_i, strides, output_size=(14, 14))
+                )(det_boxes, *fms)
+                bm, nm = feats_m.shape[:2]
+                mlogits = self.mask_head(
+                    feats_m.reshape((bm * nm,) + feats_m.shape[2:]),
+                    training=False)
+                sel = jnp.take_along_axis(
+                    mlogits, det_labels.reshape(-1).clip(0)[:, None, None, None],
+                    axis=-1).squeeze(-1)
+                probs = jax.nn.sigmoid(sel.astype(jnp.float32))
+                out["det_masks"] = probs.reshape(
+                    (bm, nm) + probs.shape[1:])  # (B, n_det, 28, 28)
         return out
 
     # ---------------------------------------------------------------- predict
     def postprocess(self, prediction: Dict) -> DetectionPredTuple:
-        scores = jax.nn.softmax(
-            prediction["scores"][0].astype(jnp.float32), axis=-1)
-        boxes = decode_boxes(
-            prediction["deltas"][0].astype(jnp.float32),
-            prediction["proposals"][0][:, None, :],
-            weights=(10.0, 10.0, 5.0, 5.0),
-        )  # (N, C, 4)
-        n, c = scores.shape
-        fg = scores[:, 1:].reshape(-1)
-        fg_boxes = boxes[:, 1:].reshape(-1, 4)
-        cls_ids = jnp.tile(jnp.arange(1, c), (n,))
-        k = min(self._cfg("detections_per_image", 100) * 4, fg.shape[0])
-        top_scores, idx = jax.lax.top_k(fg, k)
-        valid = top_scores > self._cfg("score_threshold", 0.05)
-        cand_scores = jnp.where(valid, top_scores, -jnp.inf)
-        keep_idx, keep_scores = batched_nms(
-            fg_boxes[idx], cand_scores, cls_ids[idx], iou_threshold=0.5,
-            max_output=self._cfg("detections_per_image", 100))
-        safe = jnp.maximum(keep_idx, 0)
-        h, w = prediction["image_hw"]
-        out_boxes = jnp.clip(
-            fg_boxes[idx][safe],
-            jnp.asarray([0.0, 0.0, 0.0, 0.0]),
-            jnp.asarray([w, h, w, h], jnp.float32))
+        """Assemble the DetectionPredTuple for image 0 of an eval-mode forward;
+        pastes the 28x28 mask probabilities to full image size."""
+        masks = None
+        if "det_masks" in prediction:
+            from cvnets_tpu.ops.mask_paste import paste_masks
+
+            masks = paste_masks(prediction["det_masks"][0],
+                                prediction["det_boxes"][0],
+                                prediction["image_hw"])
         return DetectionPredTuple(
-            labels=cls_ids[idx][safe],
-            scores=jnp.where(keep_idx >= 0,
-                             jnp.where(jnp.isfinite(keep_scores),
-                                       keep_scores, 0.0), 0.0),
-            boxes=out_boxes,
+            labels=prediction["det_labels"][0],
+            scores=prediction["det_scores"][0],
+            boxes=prediction["det_boxes"][0],
+            masks=masks,
         )
 
     def predict(self, x: jnp.ndarray) -> DetectionPredTuple:

@@ -104,3 +104,130 @@ def test_mask_rcnn_forward_losses_and_grad():
     gn = jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(
         grads.get("rpn_head", {}))))
     assert float(gn) > 0
+
+
+def test_mask_rcnn_inference_emits_masks():
+    """Eval forward must return decoded detections AND 28x28 mask probabilities;
+    postprocess pastes them to image size (reference mask_rcnn.py:841-924)."""
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.detection.name", "mask_rcnn",
+        "--model.detection.n-classes", "5",
+        "--model.classification.name", "mobilenetv2",
+        "--dataset.category", "detection",
+    ])
+    setattr(opts, "model.detection.mask_rcnn.pre_nms_top_n", 64)
+    setattr(opts, "model.detection.mask_rcnn.post_nms_top_n", 16)
+    setattr(opts, "model.detection.mask_rcnn.detections_per_image", 8)
+    model = get_model(opts)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x, training=False)
+
+    pred = jax.jit(lambda v, x: model.apply(v, x, training=False))(variables, x)
+    assert pred["det_boxes"].shape == (1, 8, 4)
+    assert pred["det_masks"].shape == (1, 8, 28, 28)
+    out = model.postprocess(pred)
+    assert out.masks.shape == (8, 128, 128)
+    assert bool(jnp.all((out.masks >= 0) & (out.masks <= 1)))
+
+
+def test_paste_masks_geometry():
+    """A full-one 28x28 mask pasted into a box covers (only) that box."""
+    from cvnets_tpu.ops.mask_paste import paste_masks
+
+    mask = jnp.ones((1, 28, 28))
+    boxes = jnp.asarray([[16.0, 8.0, 48.0, 40.0]])
+    out = np.asarray(paste_masks(mask, boxes, (64, 64)))[0]
+    inside = out[10:38, 18:46]
+    assert inside.min() > 0.9
+    assert out[:7, :].max() == 0.0 and out[:, :15].max() == 0.0
+    assert out[42:, :].max() == 0.0 and out[:, 50:].max() == 0.0
+
+
+def test_mask_rcnn_overfit_rectangle_mask_iou():
+    """Overfit on a single rectangle; predicted mask must reach IoU>0.5 with the
+    ground-truth rectangle (VERDICT r1 item 3 acceptance)."""
+    import optax
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.detection.name", "mask_rcnn",
+        "--model.detection.n-classes", "2",
+        "--model.classification.name", "mobilenetv2",
+        "--dataset.category", "detection",
+    ])
+    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.25)
+    setattr(opts, "model.detection.mask_rcnn.pre_nms_top_n", 128)
+    setattr(opts, "model.detection.mask_rcnn.post_nms_top_n", 32)
+    setattr(opts, "model.detection.mask_rcnn.box_batch_per_image", 16)
+    setattr(opts, "model.detection.mask_rcnn.mask_positives", 8)
+    setattr(opts, "model.detection.mask_rcnn.detections_per_image", 4)
+    setattr(opts, "model.detection.mask_rcnn.score_threshold", 0.05)
+    model = get_model(opts)
+
+    im = 128
+    x1, y1, x2, y2 = 32.0, 40.0, 96.0, 104.0
+    img = np.full((1, im, im, 3), -0.5, np.float32)
+    img[0, int(y1):int(y2), int(x1):int(x2), :] = 1.5  # bright rectangle
+    from cvnets_tpu.models.detection.mask_rcnn import MAX_GT
+
+    boxes = np.zeros((1, MAX_GT, 4), np.float32)
+    boxes[0, 0] = [x1, y1, x2, y2]
+    labels = np.zeros((1, MAX_GT), np.int64)
+    labels[0, 0] = 1
+    gt_mask_full = np.zeros((im, im), np.float32)
+    gt_mask_full[int(y1):int(y2), int(x1):int(x2)] = 1.0
+    masks = np.zeros((1, MAX_GT, im // 4, im // 4), np.float32)
+    masks[0, 0] = gt_mask_full[::4, ::4]
+    batch = {"image": jnp.asarray(img),
+             "targets": {"box_coordinates": jnp.asarray(boxes),
+                          "box_labels": jnp.asarray(labels),
+                          "masks": jnp.asarray(masks)}}
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch, training=True)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, bstats, opt_state, key):
+        def loss_fn(p):
+            v = {"params": p, **({"batch_stats": bstats} if bstats else {})}
+            pred, mut = model.apply(v, batch, training=True,
+                                    mutable=["batch_stats"],
+                                    rngs={"dropout": key})
+            return sum(jnp.asarray(v) for v in pred["losses"].values()), mut
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, mut.get("batch_stats", bstats), opt_state, loss
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    for i in range(80):
+        params, bstats, opt_state, loss = step(
+            params, bstats, opt_state, jax.random.fold_in(rng, i))
+    assert jnp.isfinite(loss)
+
+    v = {"params": params, "batch_stats": bstats}
+    pred = jax.jit(lambda v: model.apply(v, batch["image"], training=False))(v)
+    out = model.postprocess(pred)
+    scores = np.asarray(out.scores)
+    best = int(np.argmax(scores))
+    assert scores[best] > 0.3, f"no confident detection (max score {scores[best]:.3f})"
+    bb = np.asarray(out.boxes)[best]
+    gt = np.array([x1, y1, x2, y2])
+    ix1, iy1 = np.maximum(bb[:2], gt[:2])
+    ix2, iy2 = np.minimum(bb[2:], gt[2:])
+    inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+    union = ((bb[2]-bb[0])*(bb[3]-bb[1]) + (gt[2]-gt[0])*(gt[3]-gt[1]) - inter)
+    assert inter / union > 0.5, f"box IoU {inter/union:.3f} <= 0.5"
+    pm = (np.asarray(out.masks)[best] > 0.5).astype(np.float32)
+    mi = float((pm * gt_mask_full).sum())
+    mu = float(pm.sum() + gt_mask_full.sum() - mi)
+    assert mi / mu > 0.5, f"mask IoU {mi/mu:.3f} <= 0.5"
