@@ -80,6 +80,16 @@ class BaseImageClassificationDataset(BaseImageDataset):
             transforms.append(Resize(opts, img_size=list(size)))
         if getattr(opts, "image_augmentation.random_horizontal_flip.enable", False):
             transforms.append(RandomHorizontalFlip(opts))
+        # policy augs: true AutoAugment / timm RandAugment run host-side on PIL
+        # (device-tier RandAugment/TrivialAugment stay in ops/image_ops.py)
+        if getattr(opts, "image_augmentation.auto_augment.enable", False):
+            from cvnets_tpu.data.transforms.image_advanced import AutoAugment
+
+            transforms.append(AutoAugment(opts))
+        if getattr(opts, "image_augmentation.rand_augment.use_timm_library", False):
+            from cvnets_tpu.data.transforms.image_advanced import RandAugmentTimm
+
+            transforms.append(RandAugmentTimm(opts))
         transforms.append(ToFloatTensor(opts))
         return Compose(opts, transforms)
 

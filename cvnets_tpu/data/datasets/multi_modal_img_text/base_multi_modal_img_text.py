@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import random
 from typing import Dict, List, Optional, Tuple
 
@@ -28,46 +29,23 @@ from cvnets_tpu.data.transforms.image import (
 )
 from cvnets_tpu.utils import logger
 
-# subset of the CLIP/ImageNet prompt templates (reference
-# zero_shot/imagenet_class_names.py carries the full 80; these are the most
-# informative per the RangeAugment recipes)
-ZERO_SHOT_TEMPLATES = [
-    "a photo of a {}.",
-    "a bad photo of a {}.",
-    "a photo of many {}.",
-    "a photo of the hard to see {}.",
-    "a low resolution photo of the {}.",
-    "a rendering of a {}.",
-    "a bad photo of the {}.",
-    "a cropped photo of the {}.",
-    "a photo of a hard to see {}.",
-    "a bright photo of a {}.",
-    "a photo of a clean {}.",
-    "a photo of a dirty {}.",
-    "a dark photo of the {}.",
-    "a drawing of a {}.",
-    "a photo of my {}.",
-    "a close-up photo of a {}.",
-    "a black and white photo of the {}.",
-    "a painting of the {}.",
-    "a painting of a {}.",
-    "a pixelated photo of the {}.",
-    "a sculpture of the {}.",
-    "a bright photo of the {}.",
-    "a cropped photo of a {}.",
-    "a photo of the cool {}.",
-    "a close-up photo of the {}.",
-    "a jpeg corrupted photo of a {}.",
-    "a blurry photo of the {}.",
-    "a photo of the {}.",
-    "a good photo of the {}.",
-    "a rendering of the {}.",
-    "a photo of one {}.",
-    "a doodle of a {}.",
-    "a photo of a nice {}.",
-    "a photo of a large {}.",
-    "a photo of a small {}.",
-]
+import json as _json
+
+_ZS_ASSET = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets",
+                         "clip_imagenet_zero_shot.json")
+
+
+def _load_zero_shot_asset():
+    """All 80 canonical OpenAI CLIP prompt templates + the 1000 ImageNet class
+    names (packaged JSON; parity: reference zero_shot/templates.py +
+    imagenet_class_names.py)."""
+    with open(_ZS_ASSET) as f:
+        blob = _json.load(f)
+    return blob["templates"], blob["imagenet_class_names"]
+
+
+ZERO_SHOT_TEMPLATES, IMAGENET_CLASS_NAMES = _load_zero_shot_asset()
+
 
 
 class BaseMultiModalImgText(BaseImageDataset):
@@ -299,6 +277,12 @@ class ImageNetZeroShot(BaseImageDataset):
         if names_file and os.path.isfile(names_file):
             with open(names_file) as f:
                 self.class_names = [l.strip() for l in f if l.strip()]
+        elif (len(self._inner.classes) == len(IMAGENET_CLASS_NAMES)
+              or all(re.fullmatch(r"n\d{8}", c) for c in self._inner.classes[:5])):
+            # ImageFolder wnid directory names would produce meaningless captions;
+            # default to the canonical CLIP class-name table (reference
+            # zero_shot/imagenet.py)
+            self.class_names = IMAGENET_CLASS_NAMES[: len(self._inner.classes)]
         else:
             self.class_names = self._inner.classes
 
@@ -315,7 +299,7 @@ class ImageNetZeroShot(BaseImageDataset):
         out = []
         for name in self.class_names:
             out.append(np.stack([
-                self.tokenizer(t.format(name)) for t in ZERO_SHOT_TEMPLATES
+                self.tokenizer(t.format(class_name=name)) for t in ZERO_SHOT_TEMPLATES
             ]))
         return np.stack(out)
 

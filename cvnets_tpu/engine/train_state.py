@@ -29,6 +29,10 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     ema_params: Any = None  # None when EMA disabled
+    # EMA of BN running stats: the reference EMA tracks the FULL state_dict
+    # (averaging_utils.py:42-54), so EMA eval/checkpoints must not pair EMA
+    # params with live batch_stats (advisor r1#4)
+    ema_batch_stats: Any = None
 
     @property
     def eval_params(self):
@@ -48,6 +52,8 @@ def create_train_state(model, tx, rng, dummy_batch, ema_enabled: bool = False):
         opt_state=tx.init(params),
         # must be a distinct buffer from params (donation forbids aliased inputs)
         ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema_enabled else None,
+        ema_batch_stats=(jax.tree_util.tree_map(jnp.copy, batch_stats)
+                         if ema_enabled else None),
     )
 
 
@@ -184,12 +190,17 @@ def make_train_step(
                                   + new * a).astype(old.dtype),
                 state.batch_stats, new_bs)
 
+        new_ema_bs = state.ema_batch_stats
+        if ema_enabled and new_ema_bs is not None and state.batch_stats:
+            new_ema_bs = ema_update(new_ema_bs, new_bs, ema_momentum)
+
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt_state,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_bs,
         )
 
         extras = {"loss": loss, "grad_norm": grad_norm}
@@ -209,10 +220,14 @@ def make_eval_step(model, criteria, metric_objs: Dict[str, Any], use_ema: bool =
     shift-set's class subset (reference base_imagenet_shift_dataset semantics)."""
 
     def eval_step(state: TrainState, batch: Dict) -> Dict:
-        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        using_ema = use_ema and state.ema_params is not None
+        params = state.ema_params if using_ema else state.params
         variables = {"params": params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        bstats = (state.ema_batch_stats
+                  if using_ema and state.ema_batch_stats is not None
+                  else state.batch_stats)
+        if bstats:
+            variables["batch_stats"] = bstats
         prediction = model.apply(variables, batch["samples"], training=False)
         if logit_subset is not None:
             if isinstance(prediction, dict) and "logits" in prediction:

@@ -13,6 +13,7 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cvnets_tpu.engine.train_state import (
@@ -241,6 +242,13 @@ class Trainer:
         batch_start = time.time()
         samples_seen = 0
         total = getattr(self.train_loader, "__len__", lambda: 0)()
+        # total sample count from the sampler (len(loader)*bsz is wrong under
+        # the variable batch sampler, advisor r1#5)
+        sampler = getattr(self.train_loader, "batch_sampler", None)
+        total_samples = getattr(sampler, "n_samples_per_replica", None) \
+            or getattr(sampler, "n_samples", None) or 0
+        metric_accum = None
+        accum_load_t = 0.0
 
         for batch in self.train_loader:
             load_t = time.time() - batch_start
@@ -266,11 +274,23 @@ class Trainer:
             self.train_iterations += 1
             self._maybe_profile()
 
+            # accumulate the (sum, count) pairs ON DEVICE every iteration so the
+            # epoch summary averages every batch (reference updates per batch,
+            # advisor r1#5); host readback still happens only at log frequency
+            if metric_accum is None:
+                metric_accum = metrics
+            else:
+                metric_accum = jax.tree_util.tree_map(
+                    jnp.add, metric_accum, metrics)
+            accum_load_t += load_t
+
             if self.train_iterations % self.log_freq == 0:
-                host_metrics = jax.device_get(metrics)
-                stats.update(precomputed=host_metrics, batch_load_time=load_t,
-                             batch_size=bsz)
-                stats.iter_summary(epoch, samples_seen, total * bsz,
+                host_metrics = jax.device_get(metric_accum)
+                stats.update(precomputed=host_metrics,
+                             batch_load_time=accum_load_t, batch_size=bsz)
+                metric_accum = None
+                accum_load_t = 0.0
+                stats.iter_summary(epoch, samples_seen, total_samples,
                                    epoch_start, lr)
             if (self.save_interval_freq > 0
                     and self.train_iterations % self.save_interval_freq == 0):
@@ -278,6 +298,9 @@ class Trainer:
                     jax.device_get(self.state), self.train_iterations
                 )
             batch_start = time.time()
+        if metric_accum is not None:  # flush the sub-log_freq tail
+            stats.update(precomputed=jax.device_get(metric_accum),
+                         batch_load_time=accum_load_t, batch_size=1)
         self._last_lr = self.scheduler.retrieve_lr(epoch, self.train_iterations)
         self._stop_profile()  # short epochs: close the trace window here
         return stats.avg_statistics_all()
@@ -373,7 +396,11 @@ class Trainer:
             if self.ema_enabled:
                 ema_stats = self.val_epoch(epoch, use_ema=True)
                 if epoch == self.ema_copy_at_epoch:
-                    self.state = self.state.replace(params=self.state.ema_params)
+                    self.state = self.state.replace(
+                        params=self.state.ema_params,
+                        batch_stats=(self.state.ema_batch_stats
+                                     if self.state.ema_batch_stats is not None
+                                     else self.state.batch_stats))
                     logger.info(f"Copied EMA weights into model at epoch {epoch}")
             ckpt_metric = val_stats.get(
                 self.ckpt_metric_name,

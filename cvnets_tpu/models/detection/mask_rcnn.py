@@ -109,6 +109,10 @@ class MaskRCNNDetector(BaseDetection):
                            type=float, default=0.05)
         group.add_argument("--model.detection.mask-rcnn.disable-mask-head",
                            action="store_true", default=False)
+        group.add_argument("--model.detection.mask-rcnn.norm-layer", type=str,
+                           default=None,
+                           help="norm for RPN/box/mask heads; None = no norm "
+                                "(reference rcnn_utils.py:51)")
         return parser
 
     # config accessors (usable outside apply)

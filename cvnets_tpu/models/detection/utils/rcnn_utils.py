@@ -26,7 +26,11 @@ from cvnets_tpu.ops.box_utils import box_iou
 
 
 class RPNHead(nn.Module):
-    """3×3 conv → 1×1 objectness + 1×1 box deltas, shared across levels."""
+    """3×3 conv → 1×1 objectness + 1×1 box deltas, shared across levels.
+
+    No normalization by default (reference rcnn_utils.py:51 uses use_norm=False;
+    norm is opt-in via --model.detection.mask-rcnn.norm-layer). BN here is also
+    actively harmful: RoI batches are tiny and train/eval statistics diverge."""
 
     opts: Any
     in_channels: int
@@ -36,26 +40,31 @@ class RPNHead(nn.Module):
     @nn.compact
     def __call__(self, features: List[jnp.ndarray], training: bool = False
                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        head_norm = getattr(self.opts, "model.detection.mask_rcnn.norm_layer", None)
         convs = [
             ConvLayer2d(opts=self.opts, out_channels=self.in_channels,
-                        kernel_size=3, use_norm=True, use_act=True,
+                        kernel_size=3, use_norm=head_norm is not None,
+                        norm_name=head_norm, use_act=True, bias=head_norm is None,
                         name=f"conv_{i}")
             for i in range(self.conv_depth)
         ]
-        cls_logits = ConvLayer2d(opts=self.opts, out_channels=self.num_anchors,
-                                 kernel_size=1, use_norm=False, use_act=False,
-                                 bias=True, name="cls_logits")
-        bbox_pred = ConvLayer2d(opts=self.opts,
-                                out_channels=self.num_anchors * 4, kernel_size=1,
-                                use_norm=False, use_act=False, bias=True,
-                                name="bbox_pred")
+        # predictor convs start near zero (torchvision RPNHead init: normal
+        # std=0.01, zero bias) — default kaiming-scale init puts initial box
+        # deltas at O(5), landing smooth-L1 deep in its linear regime where
+        # Adam limit-cycles instead of converging
+        cls_logits = nn.Conv(self.num_anchors, (1, 1),
+                             kernel_init=nn.initializers.normal(0.01),
+                             dtype=compute_dtype(self.opts), name="cls_logits")
+        bbox_pred = nn.Conv(self.num_anchors * 4, (1, 1),
+                            kernel_init=nn.initializers.normal(0.01),
+                            dtype=compute_dtype(self.opts), name="bbox_pred")
         logits, deltas = [], []
         for fm in features:
             t = fm
             for conv in convs:
                 t = conv(t, training=training)
-            logits.append(cls_logits(t, training=training))
-            deltas.append(bbox_pred(t, training=training))
+            logits.append(cls_logits(t))
+            deltas.append(bbox_pred(t))
         return logits, deltas
 
 
@@ -69,9 +78,12 @@ class FastRCNNConvFCHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        head_norm = getattr(self.opts, "model.detection.mask_rcnn.norm_layer", None)
         for i in range(self.n_convs):
             x = ConvLayer2d(opts=self.opts, out_channels=self.conv_channels,
-                            kernel_size=3, use_norm=True, use_act=True,
+                            kernel_size=3, use_norm=head_norm is not None,
+                            norm_name=head_norm, use_act=True,
+                            bias=head_norm is None,
                             name=f"conv_{i}")(x, training=training)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(self.fc_dim, kernel_init=linear_init(self.opts),
@@ -86,9 +98,12 @@ class FastRCNNPredictor(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         dt = compute_dtype(self.opts)
-        scores = nn.Dense(self.n_classes, kernel_init=linear_init(self.opts),
+        # torchvision FastRCNNPredictor init: cls normal(0.01), bbox normal(0.001)
+        scores = nn.Dense(self.n_classes,
+                          kernel_init=nn.initializers.normal(0.01),
                           dtype=dt, name="cls_score")(x)
-        deltas = nn.Dense(self.n_classes * 4, kernel_init=linear_init(self.opts),
+        deltas = nn.Dense(self.n_classes * 4,
+                          kernel_init=nn.initializers.normal(0.001),
                           dtype=dt, name="bbox_pred")(x)
         return scores, deltas
 
@@ -103,9 +118,12 @@ class MaskRCNNHeads(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        head_norm = getattr(self.opts, "model.detection.mask_rcnn.norm_layer", None)
         for i in range(self.n_convs):
             x = ConvLayer2d(opts=self.opts, out_channels=self.channels,
-                            kernel_size=3, use_norm=True, use_act=True,
+                            kernel_size=3, use_norm=head_norm is not None,
+                            norm_name=head_norm, use_act=True,
+                            bias=head_norm is None,
                             name=f"mask_fcn{i + 1}")(x, training=training)
         x = nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
                              dtype=compute_dtype(self.opts),

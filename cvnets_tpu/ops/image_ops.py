@@ -64,8 +64,11 @@ def adjust_sharpness(img, factor):
 
 
 def posterize(img, bits):
-    levels = 2.0 ** bits
-    return jnp.floor(img * (levels - 1) + 0.5) / (levels - 1)
+    # PIL/torchvision semantics: keep the top `bits` bits of the 8-bit value
+    # (v >> (8-bits)) << (8-bits) — NOT rounding to a uniform grid
+    q = 2.0 ** (8 - bits)
+    v = jnp.clip(img * 255.0, 0.0, 255.0)
+    return jnp.floor(v / q) * q / 255.0
 
 
 def solarize(img, threshold):
@@ -299,13 +302,10 @@ def arguments_device_augmentation(parser):
     group.add_argument("--image-augmentation.rand-augment.n", type=int, default=2)
     group.add_argument("--image-augmentation.rand-augment.m", type=int, default=9)
     group.add_argument("--image-augmentation.rand-augment.p", type=float, default=1.0)
-    group.add_argument("--image-augmentation.auto-augment.enable",
-                       action="store_true", default=False,
-                       help="Maps to RandAugment-equivalent policy on device")
     group.add_argument("--image-augmentation.trivial-augment-wide.enable",
                        action="store_true", default=False)
-    group.add_argument("--image-augmentation.random-erase.enable",
-                       action="store_true", default=False)
-    group.add_argument("--image-augmentation.random-erase.p", type=float,
-                       default=0.25)
+    # auto-augment.enable and random-erase.* are registered by the host-tier
+    # transforms (data/transforms/image_advanced.py); the device augmenter
+    # implements random-erase batched when the flag is on, and the true PIL
+    # AutoAugment policy runs host-side in the dataset pipeline.
     return parser

@@ -94,6 +94,13 @@ class CheckpointManager:
         """Epoch-end checkpoint cycle (reference save_checkpoint :230-329)."""
         if not self.is_master_node:
             return
+        # settle best BEFORE serializing the resume state: otherwise a run
+        # resumed after its best epoch restores a stale best_metric and
+        # re-overwrites checkpoint_best with a worse model (advisor r1#3)
+        new_best = self.is_best(ckpt_metric)
+        if new_best:
+            self.best_metric = ckpt_metric
+
         # full training state for auto-resume
         save_pytree(self._p("training_checkpoint_last"), {
             "epoch": np.asarray(epoch),
@@ -104,32 +111,38 @@ class CheckpointManager:
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "ema_params": state.ema_params if state.ema_params is not None else {},
+            "ema_batch_stats": (getattr(state, "ema_batch_stats", None) or {}),
         })
         save_pytree(self._p("checkpoint_last"), {"params": state.params,
                                                  "batch_stats": state.batch_stats})
+        ema_bs = getattr(state, "ema_batch_stats", None)
+        if ema_bs is None:
+            ema_bs = state.batch_stats
         if state.ema_params is not None:
             save_pytree(self._p("checkpoint_ema_last"),
-                        {"params": state.ema_params, "batch_stats": state.batch_stats})
+                        {"params": state.ema_params, "batch_stats": ema_bs})
 
-        if self.is_best(ckpt_metric):
-            self.best_metric = ckpt_metric
+        if new_best:
             save_pytree(self._p("checkpoint_best"),
                         {"params": state.params, "batch_stats": state.batch_stats})
             if state.ema_params is not None:
                 save_pytree(self._p("checkpoint_ema_best"),
                             {"params": state.ema_params,
-                             "batch_stats": state.batch_stats})
+                             "batch_stats": ema_bs})
 
         if self.save_all:
             save_pytree(self._p(f"checkpoint_epoch_{epoch}"),
                         {"params": state.params, "batch_stats": state.batch_stats})
 
         if self.k_best > 0:
-            self._update_k_best(state, ckpt_metric)
+            self._update_k_best(state, ckpt_metric, epoch)
 
-    def _update_k_best(self, state, metric: float) -> None:
-        """Keep k score-named checkpoints + their average (reference :94-154)."""
-        name = f"checkpoint_score_{metric:.4f}"
+    def _update_k_best(self, state, metric: float, epoch: int = 0) -> None:
+        """Keep k score-named checkpoints + their average (reference :94-154).
+
+        Names carry the epoch so equal (4-decimal) scores cannot collide and
+        delete a still-listed checkpoint (advisor r1#3)."""
+        name = f"checkpoint_score_{metric:.4f}_ep{epoch}"
         save_pytree(self._p(name), {"params": state.params,
                                     "batch_stats": state.batch_stats})
         self.k_best_scores.append((metric, self._p(name)))
@@ -187,6 +200,10 @@ def load_checkpoint(opts, state, save_dir: str):
             jax.tree_util.tree_leaves(blob["opt_state"]),
         ) if "opt_state" in blob else state.opt_state,
         ema_params=cast_like(target_ema, blob.get("ema_params")) if target_ema is not None else None,
+        ema_batch_stats=(cast_like(getattr(state, "ema_batch_stats", None),
+                                   blob.get("ema_batch_stats"))
+                         if getattr(state, "ema_batch_stats", None) is not None
+                         else None),
         step=np.asarray(blob.get("iterations", 0), np.int32),
     )
     epoch = int(blob.get("epoch", -1)) + 1
