@@ -59,10 +59,35 @@ def rasterize_polygon(polys: Sequence[Sequence[float]], height: int,
 
 @DATASET_REGISTRY.register(name="coco_mask_rcnn", type="detection")
 class COCOMaskRCNNDataset(COCODetection):
+    @classmethod
+    def add_arguments(cls, parser):
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument("--dataset.detection.coco-mask-rcnn.use-lsj-aug",
+                           action="store_true", default=False,
+                           help="Large Scale Jitter training augmentation "
+                                "(reference coco_mask_rcnn.py:40-72)")
+        return parser
+
     def _transforms(self, size):
-        transforms = [Resize(self.opts, img_size=list(size))]
-        if self.is_training:
-            transforms.append(RandomHorizontalFlip(self.opts))
+        use_lsj = getattr(self.opts,
+                          "dataset.detection.coco_mask_rcnn.use_lsj_aug", False)
+        if self.is_training and use_lsj:
+            from cvnets_tpu.data.transforms.image_advanced import (
+                FixedSizeCrop,
+                ScaleJitter,
+            )
+
+            if getattr(self.opts,
+                       "image_augmentation.scale_jitter.target_size", None) is None:
+                setattr(self.opts, "image_augmentation.scale_jitter.target_size",
+                        list(size))
+            transforms = [ScaleJitter(self.opts),
+                          FixedSizeCrop(self.opts, size=list(size)),
+                          RandomHorizontalFlip(self.opts)]
+        else:
+            transforms = [Resize(self.opts, img_size=list(size))]
+            if self.is_training:
+                transforms.append(RandomHorizontalFlip(self.opts))
         transforms.append(ToFloatTensor(self.opts))
         return Compose(self.opts, transforms)
 

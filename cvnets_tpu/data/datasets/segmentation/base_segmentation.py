@@ -10,6 +10,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from cvnets_tpu.data.datasets import DATASET_REGISTRY
 from cvnets_tpu.data.datasets.dataset_base import BaseImageDataset
 from cvnets_tpu.data.transforms.common import Compose
 from cvnets_tpu.data.transforms.image import (
@@ -22,6 +23,7 @@ from cvnets_tpu.data.transforms.image import (
 
 
 class BaseImageSegmentationDataset(BaseImageDataset):
+    # registered as __base__ (argument harvesting only; reference convention)
     ignore_label = 255
 
     def __init__(self, opts, is_training: bool = True, is_evaluation: bool = False,
@@ -103,3 +105,7 @@ class BaseImageSegmentationDataset(BaseImageDataset):
             m_pil = Image.fromarray(m.astype(np.uint8))
             m = np.asarray(m_pil.resize((crop_w, crop_h), Image.NEAREST), np.int32)
         return {"samples": arr, "targets": m, "sample_id": idx}
+
+
+DATASET_REGISTRY.register(name="__base__", type="segmentation")(
+    BaseImageSegmentationDataset)

@@ -12,8 +12,34 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
-def make_video_pairs(*args, **kwargs):
-    raise NotImplementedError("video samplers arrive with the video pipeline")
+def make_video_pairs(
+    crop_size_h: int,
+    crop_size_w: int,
+    min_crop_size_h: int,
+    max_crop_size_h: int,
+    min_crop_size_w: int,
+    max_crop_size_w: int,
+    default_frames: int,
+    max_scales: int = 5,
+    check_scale_div_factor: int = 32,
+) -> List[Tuple[int, int, int]]:
+    """Constant-voxel-budget (h, w, n_frames) schedule for video batches
+    (reference data/sampler/utils.py:70-119): the frame count scales inversely
+    with spatial area so every tuple costs ~crop_h*crop_w*default_frames voxels.
+    On TPU each tuple is one cached XLA executable, like the image (h, w, bsz)
+    pairs."""
+    width_dims = create_intervallic_integer_list(
+        crop_size_w, min_crop_size_w, max_crop_size_w, max_scales,
+        check_scale_div_factor)
+    height_dims = create_intervallic_integer_list(
+        crop_size_h, min_crop_size_h, max_crop_size_h, max_scales,
+        check_scale_div_factor)
+    n_elements = crop_size_w * crop_size_h * default_frames
+    batch_pairs = set()
+    for h, w in zip(height_dims, width_dims):
+        n_frames = max(1, int(round(n_elements / (h * w), 2)))
+        batch_pairs.add((h, w, n_frames))
+    return sorted(batch_pairs)
 
 
 def create_intervallic_integer_list(

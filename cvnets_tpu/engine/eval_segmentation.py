@@ -105,7 +105,50 @@ def main_segmentation_evaluation(args=None):
     if mode == "validation_set":
         loader = create_test_loader(opts)
         return predict_labeled_dataset(opts, model, variables, loader)
+    if mode in ("single_image", "image_folder"):
+        # reference eval_segmentation.py:333-498 single-image/folder prediction
+        # with colored-mask + overlay dumps
+        res_dir = os.path.join(
+            getattr(opts, "common.results_loc", "results"), "predictions")
+        paths = _collect_image_paths(opts, mode, task="segmentation")
+        size = _eval_size(opts)
+        for path in paths:
+            img = _load_image_f32(path, size)
+            fname = os.path.splitext(os.path.basename(path))[0]
+            predict_and_save(opts, model, variables, img, out_dir=res_dir,
+                             fname=fname)
+        logger.info(f"Saved {len(paths)} prediction(s) under {res_dir}")
+        return res_dir
     raise NotImplementedError(f"evaluation.segmentation.mode={mode} pending")
+
+
+def _eval_size(opts):
+    h = getattr(opts, "sampler.bs.crop_size_height", 512) or 512
+    w = getattr(opts, "sampler.bs.crop_size_width", 512) or 512
+    return (h, w)
+
+
+def _load_image_f32(path: str, size_hw) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    img = img.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _collect_image_paths(opts, mode: str, task: str):
+    key = f"evaluation.{task}.path"
+    path = getattr(opts, key, None)
+    if path is None:
+        logger.error(f"--{key.replace('_', '-').replace('.', '.')} required for"
+                     f" {mode} mode")
+    if mode == "single_image":
+        return [path]
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.lower().endswith(exts)
+    )
 
 
 if __name__ == "__main__":

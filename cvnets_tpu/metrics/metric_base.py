@@ -90,6 +90,21 @@ class EpochMetric(BaseMetric):
         self._targets = []
 
     def update(self, prediction, target, extras=None, batch_size: int = 1) -> None:
+        # np.asarray on a batch-sharded jax Array is PROCESS-LOCAL on a
+        # multi-host pod — every host would silently compute the metric on its
+        # shard only. Gather to fully-replicated arrays first.
+        import jax
+
+        if jax.process_count() > 1:
+            def gather(x):
+                if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+                    from jax.experimental import multihost_utils
+
+                    return multihost_utils.process_allgather(x, tiled=True)
+                return x
+
+            prediction = jax.tree_util.tree_map(gather, prediction)
+            target = jax.tree_util.tree_map(gather, target)
         prediction, target = self._select(prediction, target)
         self._preds.append(np.asarray(prediction))
         self._targets.append(np.asarray(target))

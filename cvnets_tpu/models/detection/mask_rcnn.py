@@ -177,6 +177,10 @@ class MaskRCNNDetector(BaseDetection):
             return out_boxes  # (post_n, 4)
 
         proposals = jax.vmap(per_image)(obj, deltas)  # (B, post_n, 4)
+        # detach: the RPN is trained ONLY by its own losses (torchvision
+        # semantics); without this the box/mask losses backprop through the
+        # RoIAlign box coordinates into the RPN deltas and destabilize them
+        proposals = jax.lax.stop_gradient(proposals)
 
         losses = {}
         if training and targets is not None:

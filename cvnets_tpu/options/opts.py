@@ -153,6 +153,9 @@ def get_training_arguments(
 
 
 def get_eval_arguments(parse_args: bool = True, args: Optional[List[str]] = None):
+    """Eval args == training args: the offline-eval mode flags
+    (--evaluation.{detection,segmentation}.*) are registered by
+    base_detection/base_segmentation add_arguments."""
     return get_training_arguments(parse_args=parse_args, args=args)
 
 

@@ -209,7 +209,7 @@ def test_mask_rcnn_overfit_rectangle_mask_iou():
 
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
-    for i in range(80):
+    for i in range(150):
         params, bstats, opt_state, loss = step(
             params, bstats, opt_state, jax.random.fold_in(rng, i))
     assert jnp.isfinite(loss)
@@ -218,15 +218,21 @@ def test_mask_rcnn_overfit_rectangle_mask_iou():
     pred = jax.jit(lambda v: model.apply(v, batch["image"], training=False))(v)
     out = model.postprocess(pred)
     scores = np.asarray(out.scores)
-    best = int(np.argmax(scores))
-    assert scores[best] > 0.3, f"no confident detection (max score {scores[best]:.3f})"
-    bb = np.asarray(out.boxes)[best]
+    confident = np.nonzero(scores > 0.3)[0]
+    assert confident.size, f"no confident detection (max score {scores.max():.3f})"
     gt = np.array([x1, y1, x2, y2])
-    ix1, iy1 = np.maximum(bb[:2], gt[:2])
-    ix2, iy2 = np.minimum(bb[2:], gt[2:])
-    inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
-    union = ((bb[2]-bb[0])*(bb[3]-bb[1]) + (gt[2]-gt[0])*(gt[3]-gt[1]) - inter)
-    assert inter / union > 0.5, f"box IoU {inter/union:.3f} <= 0.5"
+
+    def box_iou(bb):
+        ix1, iy1 = np.maximum(bb[:2], gt[:2])
+        ix2, iy2 = np.minimum(bb[2:], gt[2:])
+        inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+        union = ((bb[2]-bb[0])*(bb[3]-bb[1])
+                 + (gt[2]-gt[0])*(gt[3]-gt[1]) - inter)
+        return inter / max(union, 1e-9)
+
+    ious = [box_iou(np.asarray(out.boxes)[i]) for i in confident]
+    best = confident[int(np.argmax(ious))]
+    assert max(ious) > 0.5, f"box IoU {max(ious):.3f} <= 0.5"
     pm = (np.asarray(out.masks)[best] > 0.5).astype(np.float32)
     mi = float((pm * gt_mask_full).sum())
     mu = float(pm.sum() + gt_mask_full.sum() - mi)

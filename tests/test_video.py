@@ -59,3 +59,61 @@ def test_frame_folder_reader_clip_sampling(tmp_path):
     # eval clips are deterministic and spread over the video
     blob2 = reader.read_video(str(vdir))
     np.testing.assert_array_equal(blob["video"], blob2["video"])
+
+
+def test_trainer_video_classification_one_epoch(tmp_path):
+    """Kinetics-style spatio-temporal Trainer smoke over a dummy video dataset
+    (VERDICT r1 item 8)."""
+    import dummy_datasets.video  # noqa: F401  (registers dummy_video)
+
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--dataset.name", "dummy_video",
+        "--dataset.category", "video_classification",
+        "--dataset.train-batch-size0", "2",
+        "--dataset.val-batch-size0", "2",
+        "--dataset.workers", "0",
+        "--model.classification.name", "mobilenetv2",
+        "--sampler.name", "batch_sampler",
+        "--sampler.bs.crop-size-width", "32",
+        "--sampler.bs.crop-size-height", "32",
+        "--loss.category", "classification",
+        "--loss.classification.name", "cross_entropy",
+        "--scheduler.name", "cosine",
+        "--scheduler.max-epochs", "1",
+        "--common.log-freq", "1",
+        "--common.results-loc", str(tmp_path),
+    ])
+    setattr(opts, "model.video_classification.name", "spatio_temporal")
+    setattr(opts, "model.video_classification.n_classes", 6)
+    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.25)
+    setattr(opts, "scheduler.cosine.max_lr", 0.001)
+    setattr(opts, "scheduler.cosine.min_lr", 0.0001)
+
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    trainer.run()
+    import os
+
+    run_dir = os.path.join(str(tmp_path), "run_1")
+    assert any(f.startswith("checkpoint") for f in os.listdir(run_dir))
+
+
+def test_make_video_pairs_constant_budget():
+    from cvnets_tpu.data.sampler.utils import make_video_pairs
+
+    pairs = make_video_pairs(224, 224, 160, 320, 160, 320, default_frames=8)
+    assert (224, 224, 8) in pairs
+    budget = 224 * 224 * 8
+    for h, w, f in pairs:
+        assert 0.4 * budget <= h * w * f <= 1.8 * budget
+        assert h % 32 == 0 and w % 32 == 0 and f >= 1
