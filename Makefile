@@ -9,8 +9,7 @@ test-all:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/test_registry.py tests/test_options.py \
-		tests/test_image_ops.py tests/test_pallas_kernels.py -q
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

@@ -108,11 +108,60 @@ class BaseImageClassificationDataset(BaseImageDataset):
     def __len__(self) -> int:
         return len(self.samples)
 
+    def _native_fast_path(self, path: str, target: int, idx: int,
+                          crop_h: int, crop_w: int):
+        """Collapse decode -> RandomResizedCrop -> flip into ONE native call
+        (C++ thread-pooled libjpeg; cvnets_tpu/native/decode.cpp). Only valid
+        for the plain RRC(+flip) train pipeline on JPEG files; returns None to
+        fall back to the PIL path otherwise."""
+        opts = self.opts
+        if not (self.is_training
+                and getattr(opts, "dataset.decoder", "pil") == "native"
+                and path.lower().endswith((".jpg", ".jpeg"))
+                and getattr(opts, "image_augmentation.random_resized_crop.enable",
+                            False)
+                and not getattr(opts, "image_augmentation.auto_augment.enable",
+                                False)
+                and not getattr(opts,
+                                "image_augmentation.rand_augment.use_timm_library",
+                                False)):
+            return None
+        from cvnets_tpu import native
+        from cvnets_tpu.data.transforms.image import RandomResizedCrop
+
+        if native.load_library() is None:
+            return None
+        try:
+            with open(path, "rb") as f:
+                blob = f.read()
+            dims = native.jpeg_dimensions(blob)
+            if dims is None:
+                return None
+            w, h = dims
+            rrc = self._rrc_cache if hasattr(self, "_rrc_cache") else \
+                RandomResizedCrop(opts, size=(crop_h, crop_w))
+            self._rrc_cache = rrc
+            i, j, ch, cw = rrc.get_params(h, w)
+            out = native.decode_crop_resize_batch(
+                [blob], [(j, i, cw, ch)], (crop_h, crop_w), n_threads=1)
+            if out is None or not out[1][0]:
+                return None
+            arr = out[0][0].astype(np.float32) / 255.0
+            if getattr(opts, "image_augmentation.random_horizontal_flip.enable",
+                       False) and np.random.rand() < 0.5:
+                arr = np.ascontiguousarray(arr[:, ::-1])
+            return {"samples": arr, "targets": int(target), "sample_id": idx}
+        except Exception:
+            return None
+
     def __getitem__(self, sample_size_and_index) -> Dict:
         crop_h, crop_w, idx = self._parse_batch_tuple(sample_size_and_index)
         if crop_h <= 0:
             crop_h = crop_w = 224
         path, target = self.samples[idx]
+        fast = self._native_fast_path(path, target, idx, crop_h, crop_w)
+        if fast is not None:
+            return fast
         img = self.read_image_pil(path)
         if img is None:
             # corrupt image: zero tensor + label -1 (reference :276-286)

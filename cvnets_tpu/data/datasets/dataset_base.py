@@ -42,6 +42,12 @@ class BaseDataset:
         group.add_argument("--dataset.root-val", type=str, default="")
         group.add_argument("--dataset.root-test", type=str, default="")
         group.add_argument("--dataset.name", type=str, default=None)
+        group.add_argument("--dataset.decoder", type=str, default="native",
+                           choices=["pil", "native"],
+                           help="image decode path: 'native' collapses JPEG "
+                                "decode+crop+resize into the C++ thread-pooled "
+                                "decoder when the pipeline allows, falling "
+                                "back to PIL otherwise")
         group.add_argument("--dataset.category", type=str, default="classification")
         group.add_argument("--dataset.train-batch-size0", type=int, default=128)
         group.add_argument("--dataset.val-batch-size0", type=int, default=1)

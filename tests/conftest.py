@@ -11,3 +11,14 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite is compile-bound on the 1-core CI
+# host; repeated runs (and re-runs after edits that don't touch a program)
+# hit the cache instead of re-lowering every model
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            "/tmp/cvnets_tpu_jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass

@@ -9,6 +9,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# excluded from `make test-fast` (VERDICT r1 weak #7: keep a quick gate)
+pytestmark = pytest.mark.slow
+
 CONFIG_ROOT = os.path.join(os.path.dirname(__file__), "..", "config")
 
 

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# excluded from `make test-fast` (VERDICT r1 weak #7: keep a quick gate)
+pytestmark = pytest.mark.slow
+
 
 def test_roi_align_constant_map():
     from cvnets_tpu.ops.roi_align import roi_align

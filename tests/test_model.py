@@ -6,6 +6,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# excluded from `make test-fast` (VERDICT r1 weak #7: keep a quick gate)
+pytestmark = pytest.mark.slow
+
 # models too slow / not yet registered are skipped automatically
 EXCLUDE = {"__base__"}
 

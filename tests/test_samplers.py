@@ -131,12 +131,22 @@ def test_find_easy_samples_drops_indices_via_variable_sampler(tmp_path):
     trainer = Trainer(opts=opts, model=model, criteria=criteria,
                       train_loader=train_loader, val_loader=val_loader,
                       train_sampler=train_sampler)
-    n_before = len(
-        trainer.train_loader.batch_sampler.img_indices
-        or range(trainer.train_loader.batch_sampler.n_data_samples))
-    # confidence 0.0: every correctly-classified sample counts as easy;
-    # two passes push counts past the persistence threshold
+    n_before = trainer.train_loader.batch_sampler.n_data_samples
+    # seed the persistence counters deterministically (random-init correctness
+    # is luck); find_easy_samples must push the reduced index list through
+    # CVNetsDataLoader.update_indices into the variable batch sampler
+    trainer._easy_counts = {i: 2 for i in range(24)}
     trainer.find_easy_samples(0)
-    trainer.find_easy_samples(1)
     after = trainer.train_loader.batch_sampler.img_indices
-    assert after is not None and 0 < len(after) <= n_before
+    assert after is not None
+    assert 0 < len(after) <= n_before - 24 + len(
+        [i for i in range(24) if i in set(after)])
+    assert not set(range(24)) & set(after), "easy ids still scheduled"
+    # the sampler actually iterates over the reduced set
+    seen = set()
+    for batch_tuples in iter(trainer.train_loader.batch_sampler):
+        seen.update(t[2] for t in batch_tuples) if isinstance(
+            batch_tuples, (list, tuple)) and batch_tuples and isinstance(
+            batch_tuples[0], (list, tuple)) else None
+    if seen:
+        assert not (seen & set(range(24)))

@@ -8,6 +8,9 @@ import pytest
 
 import tests.dummy_datasets.classification  # noqa: F401 — registers dataset
 
+# excluded from `make test-fast` (VERDICT r1 weak #7: keep a quick gate)
+pytestmark = pytest.mark.slow
+
 
 def _opts(tmp_path, extra=None):
     from cvnets_tpu.options.opts import get_training_arguments

@@ -3,6 +3,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# excluded from `make test-fast` (VERDICT r1 weak #7: keep a quick gate)
+pytestmark = pytest.mark.slow
 
 
 def test_spatio_temporal_forward_and_grad():
