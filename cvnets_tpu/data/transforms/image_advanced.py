@@ -657,3 +657,68 @@ class InstanceProcessor(BaseTransformation):
         data["instance_mask"] = np.stack(out).astype(np.int64)
         data["instance_coords"] = coords.astype(np.float32)
         return data
+
+
+_TORCHVISION_RA_OPS = [
+    "Identity", "ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate",
+    "Brightness", "Color", "Contrast", "Sharpness", "Posterize", "Solarize",
+    "AutoContrast", "Equalize",
+]
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="rand_augment", type="image_pil")
+class RandAugmentPIL(BaseTransformation):
+    """Host-tier (PIL) RandAugment, torchvision op set/magnitudes (reference
+    image_pil.py:575). The batched device-tier variant in ops/image_ops.py is
+    preferred for TPU throughput; this one exists for pipelines that must
+    augment before byte-encoding (ByteFormer) or on the host."""
+
+    def __init__(self, opts, **kwargs) -> None:
+        super().__init__(opts)
+        self.n = int(getattr(opts, "image_augmentation.rand_augment.n", 2) or 2)
+        self.m = int(getattr(opts, "image_augmentation.rand_augment.m", 9) or 9)
+
+    def __call__(self, data: Dict) -> Dict:
+        img = _to_pil(data["image"])
+        for op in random.choices(_TORCHVISION_RA_OPS, k=self.n):
+            if op == "Identity":
+                continue
+            mag = _aa_magnitude(op, self.m)
+            if op in _SIGNED_OPS and random.random() < 0.5:
+                mag = -mag
+            img = _apply_pil_op(img, op, mag)
+        data["image"] = img
+        return data
+
+
+@TRANSFORMATIONS_REGISTRY.register(name="trivial_augment_wide", type="image_pil")
+class TrivialAugmentWidePIL(BaseTransformation):
+    """Host-tier TrivialAugmentWide (reference image_pil.py:664): ONE random op
+    with magnitude uniform over the widened range."""
+
+    _WIDE = {
+        "ShearX": 0.99, "ShearY": 0.99, "TranslateX": 32.0 / 331.0,
+        "TranslateY": 32.0 / 331.0, "Rotate": 135.0, "Brightness": 0.99,
+        "Color": 0.99, "Contrast": 0.99, "Sharpness": 0.99,
+    }
+
+    def __init__(self, opts, **kwargs) -> None:
+        super().__init__(opts)
+
+    def __call__(self, data: Dict) -> Dict:
+        img = _to_pil(data["image"])
+        op = random.choice(_TORCHVISION_RA_OPS)
+        if op != "Identity":
+            if op in self._WIDE:
+                mag = random.uniform(0.0, self._WIDE[op])
+                if op in _SIGNED_OPS and random.random() < 0.5:
+                    mag = -mag
+            elif op == "Posterize":
+                mag = 8 - random.randint(0, 6)
+            elif op == "Solarize":
+                mag = random.uniform(0.0, 255.0)
+            else:
+                mag = 0.0
+            img = _apply_pil_op(img, op, mag)
+        data["image"] = img
+        return data

@@ -345,3 +345,22 @@ class VideoShuffleAudios(BaseTransformation):
         data["audio"] = audio[idx]
         data["is_shuffled"] = (idx != np.arange(n)).astype(np.int64)
         return data
+
+
+# ---- reference registry-name aliases (reference data/transforms/video.py
+# registers the spatial ops under the same names as the image tier with
+# type="video"; keep both spellings valid for config/programmatic parity)
+TRANSFORMATIONS_REGISTRY.register(name="resize", type="video")(VideoResize)
+TRANSFORMATIONS_REGISTRY.register(name="random_crop", type="video")(VideoRandomCrop)
+TRANSFORMATIONS_REGISTRY.register(name="random_horizontal_flip", type="video")(
+    VideoRandomHorizontalFlip)
+TRANSFORMATIONS_REGISTRY.register(name="random_resized_crop", type="video")(
+    VideoRandomResizedCrop)
+TRANSFORMATIONS_REGISTRY.register(name="random_short_side_resize_crop",
+                                  type="video")(VideoRandomShortSideResizeCrop)
+TRANSFORMATIONS_REGISTRY.register(name="center_crop", type="video")(VideoCenterCrop)
+TRANSFORMATIONS_REGISTRY.register(name="to_tensor", type="video")(VideoToTensor)
+TRANSFORMATIONS_REGISTRY.register(name="crop_by_bounding_box", type="video")(
+    VideoCropByBoundingBox)
+TRANSFORMATIONS_REGISTRY.register(name="shuffle-audios", type="video")(
+    VideoShuffleAudios)

@@ -88,7 +88,7 @@ class EfficientNet(BaseImageEncoder):
 
         self.conv_1 = ConvLayer2d(opts=opts, out_channels=cfg["stem_channels"],
                                   kernel_size=3, stride=2, use_norm=True,
-                                  use_act=True, act_name="swish")
+                                  use_act=True)
         conf = {"conv1": {"in": 3, "out": cfg["stem_channels"]}}
 
         block_idx = 0
@@ -122,7 +122,7 @@ class EfficientNet(BaseImageEncoder):
 
         self.conv_1x1_exp = ConvLayer2d(opts=opts, out_channels=cfg["last_channels"],
                                         kernel_size=1, use_norm=True, use_act=True,
-                                        act_name="swish")
+                                        )
         conf["exp_before_cls"] = {"in": in_ch, "out": cfg["last_channels"]}
         self.classifier = Classifier(opts=opts, n_classes=self.n_classes,
                                      dropout=self.classifier_dropout)

@@ -97,10 +97,13 @@ class MobileNetV3(BaseImageEncoder):
                         and {4: 16, 5: 32}.get(li, 0) > self.output_stride):
                     dilation *= stride
                     stride = 1
+                # NOTE: the reference's _make_layer (mobilenetv3.py:192-201)
+                # never forwards the config's kernel_size column — every block
+                # uses the IRSE default 3x3. Replicated for checkpoint parity.
                 blocks.append(InvertedResidualSE(
                     opts=opts, in_channels=in_ch, out_channels=out_c,
                     expand_ratio=exp, use_hs=use_hs, use_se=use_se,
-                    stride=stride, kernel_size=k, dilation=dilation,
+                    stride=stride, kernel_size=3, dilation=dilation,
                 ))
                 in_ch = out_c
             setattr(self, f"layer_{li}", blocks)

@@ -37,9 +37,10 @@ class XRegNetBlock(nn.Module):
                         use_act=True, name="conv2")(y, training=training)
         if self.se_ratio > 0:
             # SE width relative to the block INPUT (torchvision/reference behavior)
-            squeeze = max(1, int(self.in_channels * self.se_ratio))
+            # reference regnet_modules.py:73: int(round(se_ratio * width_in))
+            squeeze = int(round(self.se_ratio * self.in_channels))
             y = SqueezeExcitation(opts=self.opts, in_channels=bottleneck,
-                                  squeeze_factor=max(1, bottleneck // squeeze),
+                                  squeeze_channels=max(1, squeeze),
                                   scale_fn_name="sigmoid", name="se")(y)
         y = ConvLayer2d(opts=self.opts, out_channels=self.out_channels, kernel_size=1,
                         use_norm=True, use_act=False, name="conv3")(y,

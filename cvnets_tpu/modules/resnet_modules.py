@@ -35,7 +35,7 @@ class BasicResNetBlock(nn.Module):
             y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
         if self.squeeze_channels:
             y = SqueezeExcitation(opts=self.opts, in_channels=self.out_channels,
-                                  squeeze_factor=self.out_channels // self.squeeze_channels,
+                                  squeeze_channels=self.squeeze_channels,
                                   scale_fn_name="sigmoid", name="se")(y)
         if self.stride != 1 or self.in_channels != self.out_channels:
             x = ConvLayer2d(opts=self.opts, out_channels=self.out_channels,
@@ -72,7 +72,7 @@ class BottleneckResNetBlock(nn.Module):
             y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
         if self.squeeze_channels:
             y = SqueezeExcitation(opts=self.opts, in_channels=self.out_channels,
-                                  squeeze_factor=self.out_channels // self.squeeze_channels,
+                                  squeeze_channels=self.squeeze_channels,
                                   scale_fn_name="sigmoid", name="se")(y)
         if self.stride != 1 or self.in_channels != self.out_channels:
             x = ConvLayer2d(opts=self.opts, out_channels=self.out_channels,

@@ -17,12 +17,20 @@ class SqueezeExcitation(nn.Module):
     opts: Any
     in_channels: int
     squeeze_factor: int = 4
+    # explicit override; default follows the reference rule
+    # max(make_divisible(C // factor, 8), 32) (squeeze_excitation.py:43-44)
+    squeeze_channels: Any = None
     scale_fn_name: str = "sigmoid"
-    act_name: str = "relu"
+    # None -> the model's default activation (reference squeeze_excitation.py:46-55
+    # builds fc1 with use_act=True, i.e. opts model.activation.name)
+    act_name: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        squeeze_ch = make_divisible(self.in_channels // self.squeeze_factor, 8)
+        squeeze_ch = self.squeeze_channels
+        if squeeze_ch is None:
+            squeeze_ch = max(
+                make_divisible(self.in_channels // self.squeeze_factor, 8), 32)
         init = conv_init(self.opts)
         dt = compute_dtype(self.opts)
         s = jnp.mean(x, axis=(1, 2), keepdims=True)  # NHWC global pool

@@ -170,7 +170,11 @@ class Registry:
     def all_arguments(self, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         self._ensure_loaded()
         self._arguments_accessed = True
+        seen = set()  # alias registrations share the item; harvest args once
         for _name, item in self.items():
+            if id(item) in seen:
+                continue
+            seen.add(id(item))
             add_args = getattr(item, "add_arguments", None)
             if add_args is not None:
                 parser = add_args(parser)

@@ -122,3 +122,31 @@ def test_parity_vit():
         hw=64,
         atol=5e-4,  # LN + GELU accumulate slightly more fp32 noise
     )
+
+
+def test_parity_mobilenetv1():
+    _run_parity("mobilenetv1", [
+        "--model.classification.mobilenetv1.width-multiplier", "1.0"])
+
+
+def test_parity_mobilenetv3():
+    _run_parity("mobilenetv3", [], hw=64)
+
+
+def test_parity_efficientnet_b0():
+    _run_parity(
+        "efficientnet",
+        ["--model.classification.efficientnet.mode", "b0"], hw=64)
+
+
+def test_parity_mobilevit_v1():
+    _run_parity(
+        "mobilevit",
+        ["--model.classification.mit.mode", "x_small",
+         "--model.activation.name", "swish"],
+        hw=64, atol=5e-4)
+
+
+def test_parity_mobileone_s1():
+    _run_parity("mobileone", [
+        "--model.classification.mobileone.variant", "s1"], hw=64)
