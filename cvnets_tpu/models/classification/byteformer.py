@@ -219,3 +219,12 @@ class AudioByteFormer(ByteFormer):
     """ByteFormer over raw audio bytes (parity: reference audio_byteformer.py:19)."""
 
     opts: Any = None
+
+    @classmethod
+    def add_arguments(cls, parser):
+        group = parser.add_argument_group(title=cls.__name__)
+        group.add_argument("--model.audio-classification.name", type=str,
+                           default=None)
+        group.add_argument("--model.audio-classification.pretrained", type=str,
+                           default=None)
+        return parser

@@ -81,9 +81,14 @@ class SwinTransformer(BaseImageEncoder):
         opts = self.opts
         cfg = get_configuration(opts)
         ps = cfg["patch_size"]
-        x = nn.Conv(cfg["embed_dim"], (ps, ps), strides=(ps, ps), padding="VALID",
+        # reference conv_1: bias-free patchify conv with the ConvLayer2d
+        # auto-padding quirk ((k-1)//2 = 1 for the 4x4 patch conv), then LN
+        pad = (ps - 1) // 2
+        x = nn.Conv(cfg["embed_dim"], (ps, ps), strides=(ps, ps),
+                    padding=((pad, pad), (pad, pad)), use_bias=False,
                     dtype=compute_dtype(opts), name="patch_embed")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False,
+                         name="patch_norm")(x)
 
         out: Dict[str, jnp.ndarray] = {"out_l1": x}
         total = sum(cfg["depths"])

@@ -122,16 +122,22 @@ class SwinTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         b, h, w, c = x.shape
-        ws = min(self.window_size, h, w)
-        shift = self.shift_size if ws < min(h, w) else 0
-        # pad to window multiple
+        # the window is NEVER shrunk (reference/torchvision semantics): small
+        # maps are padded up to one full window and shift is disabled; the
+        # relative-position table stays (2W-1)^2 so checkpoints are
+        # resolution-independent
+        ws = self.window_size
         pad_h = (-h) % ws
         pad_w = (-w) % ws
-        xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         hp, wp = h + pad_h, w + pad_w
+        shift = self.shift_size if ws < min(hp, wp) else 0
 
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(xp)
+        # norm BEFORE padding (reference pads inside the attention fn, after
+        # norm1): the pad region must be zeros, not LN bias values
+        y = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False,
+                         name="norm1")(x)
+        y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(shifted_window_mask(hp, wp, ws, shift))
@@ -153,7 +159,11 @@ class SwinTransformerBlock(nn.Module):
         dt = compute_dtype(self.opts)
         y = nn.Dense(int(self.dim * self.mlp_ratio),
                      kernel_init=linear_init(self.opts), dtype=dt, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        # the MLP activation comes from the model config (reference builds it
+        # from opts model.activation.name; swin recipes set gelu)
+        from cvnets_tpu.layers.activation import build_act_layer
+
+        y = build_act_layer(self.opts)(y)
         if self.dropout > 0:
             y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
         y = nn.Dense(self.dim, kernel_init=linear_init(self.opts), dtype=dt,
@@ -178,9 +188,15 @@ class PatchMerging(nn.Module):
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             h, w = h + pad_h, w + pad_w
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        # concat order is [x(0,0), x(1,0), x(0,1), x(1,1)] — torchvision's
+        # _patch_merging_pad convention, which the reference reuses; a plain
+        # reshape would give [x(0,0), x(0,1), x(1,0), x(1,1)] and scramble
+        # checkpoint channels
+        x = jnp.concatenate([
+            x[:, 0::2, 0::2, :], x[:, 1::2, 0::2, :],
+            x[:, 0::2, 1::2, :], x[:, 1::2, 1::2, :],
+        ], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False,
                         kernel_init=linear_init(self.opts),
                         dtype=compute_dtype(self.opts), name="reduction")(x)

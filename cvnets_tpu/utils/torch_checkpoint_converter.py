@@ -132,10 +132,13 @@ def convert_torch_checkpoint(
             if not any(re.match(p, k) for p in pats)
         }
 
-    # partition torch tensors by role, preserving order
+    # partition torch tensors by role, preserving order; non-learnable buffers
+    # (BN counters, swin relative_position_index / attn_mask) are recomputed on
+    # our side and must not participate in the order walk
     t_params = [(k, v) for k, v in state_dict.items()
                 if not k.endswith(("running_mean", "running_var",
-                                   "num_batches_tracked"))]
+                                   "num_batches_tracked",
+                                   "relative_position_index", "attn_mask"))]
     t_means = [(k, v) for k, v in state_dict.items() if k.endswith("running_mean")]
     t_vars = [(k, v) for k, v in state_dict.items() if k.endswith("running_var")]
 
@@ -165,7 +168,7 @@ def convert_torch_checkpoint(
     # tensor on each side, pair them by name before the order-based walk.
     DISTINCTIVE = (
         "pos_embed", "cls_token", "logit_scale", "class_embedding",
-        "post_transformer_norm",
+        "post_transformer_norm", "relative_position_bias_table", "reduction",
     )
     pre_matched_f: set = set()
     pre_matched_t: set = set()

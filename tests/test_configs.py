@@ -37,6 +37,12 @@ def test_config_builds_and_steps(config_rel):
     opts = get_training_arguments(args=["--common.config-file", config_path])
     # shrink for CPU tests
     setattr(opts, "model.classification.n_classes", 7)
+    if hasattr(opts, "teacher.model.classification.n_classes"):
+        setattr(opts, "teacher.model.classification.n_classes", 7)
+    # pretrained/finetune checkpoints do not exist in the test environment
+    for key in list(vars(opts)):
+        if key.endswith("pretrained") or key.endswith("finetune"):
+            setattr(opts, key, None)
     if getattr(opts, "dataset.category") == "detection":
         setattr(opts, "model.detection.n_classes", 7)
     if getattr(opts, "dataset.category") == "segmentation":

@@ -150,3 +150,10 @@ def test_parity_mobilevit_v1():
 def test_parity_mobileone_s1():
     _run_parity("mobileone", [
         "--model.classification.mobileone.variant", "s1"], hw=64)
+
+
+def test_parity_swin_tiny():
+    _run_parity(
+        "swin",
+        ["--model.classification.swin.mode", "tiny"],
+        hw=64, atol=5e-4)
