@@ -54,6 +54,12 @@ class FastViT(BaseImageEncoder):
     @classmethod
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         group = parser.add_argument_group(title=cls.__name__)
+        group.add_argument("--model.classification.fastvit.drop-path", type=float,
+                           default=0.0)
+        group.add_argument("--model.classification.fastvit.use-layer-scale",
+                           action="store_true", default=True)
+        group.add_argument("--model.classification.fastvit.layer-scale-init-value",
+                           type=float, default=1e-5)
         group.add_argument("--model.classification.fastvit.variant", type=str,
                            default="T8")
         group.add_argument("--model.classification.fastvit.dropout", type=float,
@@ -106,18 +112,26 @@ class FastViT(BaseImageEncoder):
                                      inference_mode=inference_mode))
             for bi in range(layers[si]):
                 p = sd_prob * bid / max(total - 1, 1)
+                use_ls = getattr(
+                    opts, "model.classification.fastvit.use_layer_scale", True)
+                ls_init = getattr(
+                    opts,
+                    "model.classification.fastvit.layer_scale_init_value", 1e-5)
                 if cfg["token_mixers"][si] == "repmixer":
                     blocks.append(RepMixerBlock(
                         opts=opts, dim=dims[si],
                         kernel_size=cfg["repmixer_kernel_size"],
                         mlp_ratio=cfg["mlp_ratios"][si], dropout=dropout,
-                        stochastic_depth_prob=p, inference_mode=inference_mode,
+                        stochastic_depth_prob=p, use_layer_scale=use_ls,
+                        layer_scale_init_value=ls_init,
+                        inference_mode=inference_mode,
                     ))
                 else:
                     blocks.append(AttentionBlock(
                         opts=opts, dim=dims[si], mlp_ratio=cfg["mlp_ratios"][si],
                         num_heads=max(1, dims[si] // 32), dropout=dropout,
-                        stochastic_depth_prob=p,
+                        stochastic_depth_prob=p, use_layer_scale=use_ls,
+                        layer_scale_init_value=ls_init,
                     ))
                 bid += 1
             setattr(self, f"layer_{si + 2}", blocks)
@@ -126,12 +140,12 @@ class FastViT(BaseImageEncoder):
             }
 
         exp_ch = int(dims[-1] * cfg["cls_ratio"])
+        # reference fastvit.py:205-221: ONE grouped MobileOne block expanding
+        # dims[-1] -> cls_ratio*dims[-1] (groups=dims[-1]), with SE
         self.conv_1x1_exp = [
-            MobileOneBlock(opts=opts, in_channels=dims[-1], out_channels=dims[-1],
+            MobileOneBlock(opts=opts, in_channels=dims[-1], out_channels=exp_ch,
                            kernel_size=3, stride=1, groups=dims[-1], use_se=True,
                            num_conv_branches=1, inference_mode=inference_mode),
-            ConvLayer2d(opts=opts, out_channels=exp_ch, kernel_size=1,
-                        use_norm=True, use_act=True),
         ]
         conf["exp_before_cls"] = {"in": dims[-1], "out": exp_ch}
         self.classifier = Classifier(opts=opts, n_classes=self.n_classes,

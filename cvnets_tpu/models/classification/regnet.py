@@ -26,6 +26,8 @@ class RegNet(BaseImageEncoder):
     @classmethod
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         group = parser.add_argument_group(title=cls.__name__)
+        group.add_argument("--model.classification.regnet.stem-width", type=int,
+                           default=32)
         group.add_argument("--model.classification.regnet.mode", type=str,
                            default="y_400mf")
         group.add_argument("--model.classification.regnet.stochastic-depth-prob",

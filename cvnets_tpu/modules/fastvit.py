@@ -24,6 +24,8 @@ class RepMixer(nn.Module):
     opts: Any
     dim: int
     kernel_size: int = 3
+    use_layer_scale: bool = True
+    layer_scale_init_value: float = 1e-5
     inference_mode: bool = False
 
     @nn.compact
@@ -33,6 +35,14 @@ class RepMixer(nn.Module):
                                kernel_size=self.kernel_size, groups=self.dim,
                                bias=True, use_norm=False, use_act=False,
                                name="reparam_conv")(x, training=training)
+        # layer_scale first: torch enumerates a module's direct parameters
+        # before its submodules (reference fastvit.py:199-221)
+        ls = None
+        if self.use_layer_scale:
+            ls = self.param(
+                "layer_scale",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,))
         norm = MobileOneBlock(opts=self.opts, in_channels=self.dim,
                               out_channels=self.dim, kernel_size=self.kernel_size,
                               groups=self.dim, use_act=False, num_conv_branches=0,
@@ -42,6 +52,8 @@ class RepMixer(nn.Module):
                              out_channels=self.dim, kernel_size=self.kernel_size,
                              groups=self.dim, use_act=False, num_conv_branches=1,
                              name="mixer")(x, training=training)
+        if ls is not None:
+            return x + ls.astype(x.dtype) * (mix - norm)
         return x + mix - norm
 
 
@@ -104,10 +116,20 @@ class AttentionBlock(nn.Module):
     num_heads: int = 8
     dropout: float = 0.0
     stochastic_depth_prob: float = 0.0
+    use_layer_scale: bool = True
+    layer_scale_init_value: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         b, h, w, c = x.shape
+        ls1 = ls2 = None
+        if self.use_layer_scale:
+            ls1 = self.param("layer_scale_1",
+                             nn.initializers.constant(self.layer_scale_init_value),
+                             (self.dim,))
+            ls2 = self.param("layer_scale_2",
+                             nn.initializers.constant(self.layer_scale_init_value),
+                             (self.dim,))
         y = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                          use_running_average=not training, name="norm")(x)
         tokens = y.reshape(b, h * w, c)
@@ -122,11 +144,15 @@ class AttentionBlock(nn.Module):
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h * w, self.dim)
         out = nn.Dense(self.dim, kernel_init=linear_init(self.opts), dtype=dt,
                        name="proj")(out).reshape(b, h, w, c)
+        if ls1 is not None:
+            out = ls1.astype(out.dtype) * out
         out = StochasticDepth(p=self.stochastic_depth_prob)(out, training=training)
         x = x + out
         y = ConvFFN(opts=self.opts, dim=self.dim,
                     hidden_dim=int(self.dim * self.mlp_ratio),
                     dropout=self.dropout, name="ffn")(x, training=training)
+        if ls2 is not None:
+            y = ls2.astype(y.dtype) * y
         y = StochasticDepth(p=self.stochastic_depth_prob)(y, training=training)
         return x + y
 
@@ -138,16 +164,28 @@ class RepMixerBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     stochastic_depth_prob: float = 0.0
+    use_layer_scale: bool = True
+    layer_scale_init_value: float = 1e-5
     inference_mode: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        ls = None
+        if self.use_layer_scale:
+            ls = self.param(
+                "layer_scale",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,))
         x = RepMixer(opts=self.opts, dim=self.dim, kernel_size=self.kernel_size,
+                     use_layer_scale=self.use_layer_scale,
+                     layer_scale_init_value=self.layer_scale_init_value,
                      inference_mode=self.inference_mode,
                      name="token_mixer")(x, training=training)
         y = ConvFFN(opts=self.opts, dim=self.dim,
                     hidden_dim=int(self.dim * self.mlp_ratio),
                     dropout=self.dropout, name="ffn")(x, training=training)
+        if ls is not None:
+            y = ls.astype(y.dtype) * y
         y = StochasticDepth(p=self.stochastic_depth_prob)(y, training=training)
         return x + y
 
@@ -165,10 +203,17 @@ class PatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        # reference PatchEmbed (fastvit.py:88-121): grouped RepLK conv doing
+        # BOTH the spatial downsample and the channel expansion, then a
+        # MobileOne 1x1 block (conv branch + BN skip)
         x = RepLKBlock(opts=self.opts, channels=self.in_channels,
+                       out_channels=self.embed_dim, groups=self.in_channels,
                        kernel_size=self.patch_size, small_kernel=3,
                        stride=self.stride, inference_mode=self.inference_mode,
                        name="replk")(x, training=training)
-        x = ConvLayer2d(opts=self.opts, out_channels=self.embed_dim, kernel_size=1,
-                        use_norm=True, use_act=True, name="proj")(x, training=training)
+        x = MobileOneBlock(opts=self.opts, in_channels=self.embed_dim,
+                           out_channels=self.embed_dim, kernel_size=1, stride=1,
+                           groups=1, use_se=False, num_conv_branches=1,
+                           inference_mode=self.inference_mode,
+                           name="proj")(x, training=training)
         return x

@@ -70,31 +70,43 @@ class MobileOneBlock(nn.Module):
 
 
 class RepLKBlock(nn.Module):
-    """Large-kernel depthwise reparam block (reference mobileone_block.py:304,
-    used by FastViT): dw k×k BN + parallel dw small-kernel BN, summed."""
+    """Large-kernel grouped reparam block (reference mobileone_block.py:304,
+    used by FastViT): grouped k×k BN + parallel small-kernel BN, summed, then
+    the model activation. Supports channel expansion via grouped convs
+    (FastViT downsamplers use in->2*in with groups=in)."""
 
     opts: Any
-    channels: int
+    channels: int  # input channels (kept for call-site compat)
+    out_channels: Optional[int] = None  # default: channels
     kernel_size: int = 7
     small_kernel: Optional[int] = 3
     stride: int = 1
+    groups: Optional[int] = None  # default: depthwise (= channels)
+    # The reference RepLK forward computes `self.activation(out)` and DISCARDS
+    # the result (mobileone_block.py:408) — with the default non-inplace
+    # activation it is a no-op, and published FastViT checkpoints were trained
+    # that way. Parity requires NOT activating here.
+    use_act: bool = False
     inference_mode: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        out_ch = self.out_channels or self.channels
+        groups = self.groups or self.channels
+        act = (build_act_layer(self.opts) if self.use_act else (lambda v: v))
         if self.inference_mode:
-            return ConvLayer2d(opts=self.opts, out_channels=self.channels,
-                               kernel_size=self.kernel_size, stride=self.stride,
-                               groups=self.channels, bias=True, use_norm=False,
-                               use_act=False, name="reparam_conv")(x,
-                                                                   training=training)
-        y = ConvLayer2d(opts=self.opts, out_channels=self.channels,
+            return act(ConvLayer2d(opts=self.opts, out_channels=out_ch,
+                                   kernel_size=self.kernel_size, stride=self.stride,
+                                   groups=groups, bias=True, use_norm=False,
+                                   use_act=False, name="reparam_conv")(
+                                       x, training=training))
+        y = ConvLayer2d(opts=self.opts, out_channels=out_ch,
                         kernel_size=self.kernel_size, stride=self.stride,
-                        groups=self.channels, use_norm=True, use_act=False,
+                        groups=groups, use_norm=True, use_act=False,
                         name="lk_conv")(x, training=training)
         if self.small_kernel is not None:
-            y = y + ConvLayer2d(opts=self.opts, out_channels=self.channels,
+            y = y + ConvLayer2d(opts=self.opts, out_channels=out_ch,
                                 kernel_size=self.small_kernel, stride=self.stride,
-                                groups=self.channels, use_norm=True, use_act=False,
+                                groups=groups, use_norm=True, use_act=False,
                                 name="sk_conv")(x, training=training)
-        return y
+        return act(y)

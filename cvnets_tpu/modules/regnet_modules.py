@@ -42,9 +42,11 @@ class XRegNetBlock(nn.Module):
             y = SqueezeExcitation(opts=self.opts, in_channels=bottleneck,
                                   squeeze_channels=max(1, squeeze),
                                   scale_fn_name="sigmoid", name="se")(y)
+        # the final 1x1 keeps its activation (reference regnet_modules.py:80-88:
+        # conv_1x1_2 has use_act=True, unlike a classic pre-residual bottleneck)
         y = ConvLayer2d(opts=self.opts, out_channels=self.out_channels, kernel_size=1,
-                        use_norm=True, use_act=False, name="conv3")(y,
-                                                                    training=training)
+                        use_norm=True, use_act=True, name="conv3")(y,
+                                                                   training=training)
         if self.stride != 1 or self.in_channels != self.out_channels:
             x = ConvLayer2d(opts=self.opts, out_channels=self.out_channels,
                             kernel_size=1, stride=self.stride, use_norm=True,

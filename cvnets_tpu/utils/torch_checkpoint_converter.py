@@ -74,9 +74,12 @@ def _convert_weight(flax_name: str, w: np.ndarray, target_shape: Tuple[int, ...]
     # embeddings or projection tables stored transposed
     if w.ndim == 2 and w.T.shape == target_shape:
         return w.T
-    if w.shape == tuple(s for s in target_shape if s != 1) and np.prod(
-        w.shape, dtype=np.int64
-    ) == np.prod(target_shape, dtype=np.int64):
+    # squeeze-compatible shapes (e.g. torch layer_scale (C,1,1) -> flax (C,))
+    if tuple(s for s in w.shape if s != 1) == tuple(
+        s for s in target_shape if s != 1
+    ) and np.prod(w.shape, dtype=np.int64) == np.prod(
+        target_shape, dtype=np.int64
+    ):
         return w.reshape(target_shape)
     return None
 
@@ -166,15 +169,21 @@ def convert_torch_checkpoint(
     # different positions in the two enumerations (torch registers buffers/params in
     # __init__ order, flax in first-use order). When a token identifies exactly one
     # tensor on each side, pair them by name before the order-based walk.
+    # entries are (flax_substring, torch_substring); matched leaf lists must
+    # have equal length and are zipped in enumeration order
     DISTINCTIVE = (
-        "pos_embed", "cls_token", "logit_scale", "class_embedding",
-        "post_transformer_norm", "relative_position_bias_table", "reduction",
+        ("pos_embed",) * 2, ("cls_token",) * 2, ("logit_scale",) * 2,
+        ("class_embedding",) * 2, ("post_transformer_norm",) * 2,
+        ("relative_position_bias_table",) * 2, ("reduction",) * 2,
+        # SE units: torch declares them before the branch convs in some blocks
+        # (FastViT MobileOneBlock), flax materializes them at call time
+        ("/se/", ".se."),
     )
     pre_matched_f: set = set()
     pre_matched_t: set = set()
-    for token in DISTINCTIVE:
-        f_hits = [i for i, (n, _) in enumerate(f_params) if token in n]
-        t_hits = [i for i, (n, _) in enumerate(t_params) if token in n]
+    for f_token, t_token in DISTINCTIVE:
+        f_hits = [i for i, (n, _) in enumerate(f_params) if f_token in n]
+        t_hits = [i for i, (n, _) in enumerate(t_params) if t_token in n]
         if not f_hits or len(f_hits) != len(t_hits):
             continue
         for fi, ti in zip(f_hits, t_hits):

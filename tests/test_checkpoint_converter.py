@@ -112,3 +112,53 @@ def test_finetune_scope_surgery(tmp_path):
     assert (out["head"]["fc"] == 7).all()        # renamed ckpt key applied
     assert (out["classifier"]["b"] == 1).all()   # missing but ignored
     assert out["mismatch"]["w"].shape == (2, 2)  # mismatch -> fresh init
+
+
+def test_pt_file_roundtrip_logit_parity(tmp_path):
+    """Save a reference torch model to .pt, load through load_cvnets_checkpoint
+    (the --common.finetune path), and verify logits — covers the file-reading
+    layer on top of convert_torch_checkpoint."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import numpy as np
+    import pytest
+    import torch
+    from reference_interop import build_reference_model, reference_available
+
+    if not reference_available():
+        pytest.skip("reference tree not present")
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.utils.torch_checkpoint_converter import load_cvnets_checkpoint
+
+    opts = get_training_arguments(args=[
+        "--model.classification.name", "mobilenetv2",
+        "--model.classification.n-classes", "11",
+        "--model.classification.mobilenetv2.width-multiplier", "0.5",
+        "--dataset.category", "classification",
+    ])
+    ref = build_reference_model(opts)
+    path = str(tmp_path / "ref.pt")
+    torch.save(ref.state_dict(), path)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_y = ref(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+
+    model = get_model(opts)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
+                           training=False)
+    params, bstats = load_cvnets_checkpoint(
+        opts, path, variables["params"], variables.get("batch_stats"))
+    new_vars = dict(variables, params=params)
+    if bstats is not None:
+        new_vars["batch_stats"] = bstats
+    our_y = np.asarray(model.apply(new_vars, jnp.asarray(x), training=False))
+    assert np.abs(our_y - ref_y).max() < 1e-4

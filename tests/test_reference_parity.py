@@ -157,3 +157,16 @@ def test_parity_swin_tiny():
         "swin",
         ["--model.classification.swin.mode", "tiny"],
         hw=64, atol=5e-4)
+
+
+def test_parity_regnet_y_200mf():
+    _run_parity(
+        "regnet", ["--model.classification.regnet.mode", "y_200mf"], hw=64)
+
+
+def test_parity_fastvit_t8():
+    _run_parity(
+        "fastvit",
+        ["--model.classification.fastvit.variant", "T8",
+         "--model.activation.name", "gelu"],
+        hw=64, atol=5e-4)
