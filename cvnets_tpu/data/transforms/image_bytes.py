@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import argparse
 import io
-import random
 from typing import Dict
 
 import numpy as np
@@ -14,11 +13,15 @@ import numpy as np
 from cvnets_tpu.data.transforms import TRANSFORMATIONS_REGISTRY
 from cvnets_tpu.data.transforms.common import BaseTransformation
 
+# Fixed seed with a balanced bit pattern so the byte permutation / mask pattern
+# is identical across every worker and run (reference image_bytes.py:248,301).
+_FIXED_SEED = 2147483647
+
 
 @TRANSFORMATIONS_REGISTRY.register(name="pil_save", type="image_bytes")
 class PILSave(BaseTransformation):
     """Encode the image to file bytes (JPEG/PNG/TIFF) — the ByteFormer input
-    (reference image_bytes.py PILSave)."""
+    (reference image_bytes.py:58-128)."""
 
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
@@ -53,29 +56,77 @@ class PILSave(BaseTransformation):
 
 @TRANSFORMATIONS_REGISTRY.register(name="shuffle_bytes", type="image_bytes")
 class ShuffleBytes(BaseTransformation):
+    """Reorder a 1-D byte buffer (reference image_bytes.py:131-228).
+
+    Modes: ``reverse`` flips the buffer; ``random_shuffle`` draws a fresh random
+    permutation per sample; ``cyclic_half_length`` rolls by N//2; ``stride``
+    interleaves byte positions at the configured stride; ``window_shuffle``
+    applies ONE fixed permutation (drawn at construction) to every full window,
+    leaving the tail unshuffled.
+    """
+
+    MODES = ("reverse", "random_shuffle", "cyclic_half_length", "stride",
+             "window_shuffle")
+
+    def __init__(self, opts, **kwargs) -> None:
+        super().__init__(opts)
+        self.mode = getattr(
+            opts, "image_augmentation.shuffle_bytes.mode", "reverse") or "reverse"
+        self.stride = getattr(
+            opts, "image_augmentation.shuffle_bytes.stride", 1024)
+        window_size = getattr(
+            opts, "image_augmentation.shuffle_bytes.window_size", 1024)
+        # the window permutation is fixed across samples (reference :141)
+        self.window_shuffle = np.random.default_rng(
+            _FIXED_SEED).permutation(window_size)
+
     @classmethod
     def add_arguments(cls, parser):
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--image-augmentation.shuffle-bytes.enable",
                            action="store_true", default=False)
+        group.add_argument("--image-augmentation.shuffle-bytes.mode", type=str,
+                           default="reverse", choices=list(cls.MODES))
+        group.add_argument("--image-augmentation.shuffle-bytes.stride",
+                           type=int, default=1024)
+        group.add_argument("--image-augmentation.shuffle-bytes.window-size",
+                           type=int, default=1024)
         return parser
 
     def __call__(self, data: Dict) -> Dict:
-        arr = np.asarray(data["image"])
-        data["image"] = np.random.permutation(arr)
+        x = np.asarray(data["image"]).reshape(-1)
+        n = x.shape[0]
+        if self.mode == "reverse":
+            x = x[::-1]
+        elif self.mode == "random_shuffle":
+            x = np.random.permutation(x)
+        elif self.mode == "cyclic_half_length":
+            x = np.roll(x, n // 2)
+        elif self.mode == "stride":
+            x = np.concatenate([x[i::self.stride] for i in range(self.stride)])
+        elif self.mode == "window_shuffle":
+            w = self.window_shuffle.shape[0]
+            num_windows = n // w
+            if num_windows:
+                head = x[: num_windows * w].reshape(num_windows, w)
+                x = np.concatenate(
+                    [head[:, self.window_shuffle].reshape(-1),
+                     x[num_windows * w:]])
+        else:
+            raise NotImplementedError(
+                f"shuffle_bytes mode={self.mode}; expected one of {self.MODES}")
+        data["image"] = np.ascontiguousarray(x)
         return data
 
 
 @TRANSFORMATIONS_REGISTRY.register(name="byte_permutation", type="image_bytes")
 class BytePermutation(BaseTransformation):
-    """Random fixed remap of byte values (privacy obfuscation; reference
-    ByTePermutation)."""
+    """Fixed remap of byte values through a seeded permutation of [0, 256)
+    (privacy obfuscation; reference image_bytes.py:292-336)."""
 
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
-        seed = getattr(opts, "common.seed", 0) or 0
-        rng = np.random.default_rng(seed)
-        self.mapping = rng.permutation(256)
+        self.mapping = np.random.default_rng(_FIXED_SEED).permutation(256)
 
     @classmethod
     def add_arguments(cls, parser):
@@ -86,7 +137,7 @@ class BytePermutation(BaseTransformation):
 
     def __call__(self, data: Dict) -> Dict:
         arr = np.asarray(data["image"]).astype(np.int64)
-        valid = arr >= 0
+        valid = arr >= 0  # negative values are padding added downstream
         out = arr.copy()
         out[valid] = self.mapping[arr[valid] % 256]
         data["image"] = out.astype(np.int32)
@@ -95,56 +146,66 @@ class BytePermutation(BaseTransformation):
 
 @TRANSFORMATIONS_REGISTRY.register(name="mask_positions", type="image_bytes")
 class MaskPositions(BaseTransformation):
-    """Randomly mask byte positions with the mask token (reference MaskPositions)."""
+    """Subsample byte positions with a FIXED keep pattern: keep ``keep_frac`` of
+    positions (chosen once from a fixed seed, shared by all samples of that
+    length) and drop the rest — the privacy-preserving-camera input model
+    (reference image_bytes.py:231-289)."""
 
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
-        self.p = getattr(opts, "image_augmentation.mask_positions.p", 0.1)
-        self.mask_value = getattr(
-            opts, "model.classification.byteformer.vocab_size", 257) - 1
+        self.keep_frac = getattr(
+            opts, "image_augmentation.mask_positions.keep_frac", 0.25)
+        self._cached_mask = None
 
     @classmethod
     def add_arguments(cls, parser):
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--image-augmentation.mask-positions.enable",
                            action="store_true", default=False)
-        group.add_argument("--image-augmentation.mask-positions.p", type=float,
-                           default=0.1)
+        group.add_argument("--image-augmentation.mask-positions.keep-frac",
+                           type=float, default=0.25)
         return parser
 
+    def _mask_for(self, n: int) -> np.ndarray:
+        # the mask is fixed across all inputs (reference :241-251); cache per
+        # length since raw byte streams vary in size
+        if self._cached_mask is None or self._cached_mask.shape[0] != n:
+            rng = np.random.default_rng(_FIXED_SEED)
+            mask = np.zeros(n, dtype=bool)
+            mask[rng.permutation(n)[: int(self.keep_frac * n)]] = True
+            self._cached_mask = mask
+        return self._cached_mask
+
     def __call__(self, data: Dict) -> Dict:
-        arr = np.asarray(data["image"]).astype(np.int32)
-        mask = np.random.uniform(size=arr.shape) < self.p
-        arr = np.where(mask & (arr >= 0), self.mask_value, arr)
-        data["image"] = arr
+        x = np.asarray(data["image"]).reshape(-1)
+        data["image"] = np.ascontiguousarray(x[self._mask_for(x.shape[0])])
         return data
 
 
 @TRANSFORMATIONS_REGISTRY.register(name="random_uniform", type="image_bytes")
 class RandomUniformNoise(BaseTransformation):
-    """Add bounded uniform integer noise to bytes (obfuscation experiments;
-    reference RandomUniform)."""
+    """Add uniform integer noise in ``width_range`` (inclusive) to byte values,
+    wrapping mod 256 (obfuscation experiments; reference image_bytes.py:339-396)."""
 
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
-        self.low = getattr(opts, "image_augmentation.random_uniform.low", -20)
-        self.high = getattr(opts, "image_augmentation.random_uniform.high", 20)
+        rng = getattr(opts, "image_augmentation.random_uniform.width_range",
+                      [-5, 5]) or [-5, 5]
+        self.low, self.high = int(rng[0]), int(rng[1])
 
     @classmethod
     def add_arguments(cls, parser):
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--image-augmentation.random-uniform.enable",
                            action="store_true", default=False)
-        group.add_argument("--image-augmentation.random-uniform.low", type=int,
-                           default=-20)
-        group.add_argument("--image-augmentation.random-uniform.high", type=int,
-                           default=20)
+        group.add_argument("--image-augmentation.random-uniform.width-range",
+                           type=int, nargs=2, default=[-5, 5])
         return parser
 
     def __call__(self, data: Dict) -> Dict:
         arr = np.asarray(data["image"]).astype(np.int32)
         noise = np.random.randint(self.low, self.high + 1, arr.shape)
-        valid = arr >= 0
-        arr = np.where(valid, np.clip(arr + noise, 0, 255), arr)
+        valid = arr >= 0  # don't perturb padding
+        arr = np.where(valid, (arr + noise) % 256, arr)
         data["image"] = arr
         return data

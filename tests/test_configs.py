@@ -13,18 +13,54 @@ import pytest
 pytestmark = pytest.mark.slow
 
 CONFIG_ROOT = os.path.join(os.path.dirname(__file__), "..", "config")
+EXAMPLES_ROOT = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def _all_yamls():
+    paths = []
+    for root in (CONFIG_ROOT, EXAMPLES_ROOT):
+        paths += sorted(glob.glob(os.path.join(root, "**", "*.yaml"),
+                                  recursive=True))
+    return paths
 
 
 def _configs():
     out = []
-    for path in sorted(glob.glob(os.path.join(CONFIG_ROOT, "**", "*.yaml"),
-                                 recursive=True)):
+    for path in _all_yamls():
         with open(path) as f:
             first = f.readline()
         if "pytest: disable" in first:
             continue
         out.append(os.path.relpath(path, os.path.dirname(CONFIG_ROOT)))
     return out
+
+
+def test_every_recipe_yaml_resolves_known_keys_only():
+    """Every yaml in config/ + examples/ (including 'pytest: disable' sweep
+    variants) must map exclusively onto registered argparse dests — a typo'd
+    key would otherwise be silently dropped at train time (reference warns the
+    same way, options/utils.py:74-89)."""
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.options.utils import load_config_file
+    from cvnets_tpu.utils import logger
+
+    parser = get_training_arguments(parse_args=False)
+    unknown = []
+    orig_warning = logger.warning
+    logger.warning = lambda msg: (
+        unknown.append(msg) if "Unrecognized" in str(msg) else None)
+    try:
+        paths = _all_yamls()
+        assert len(paths) >= 100, f"recipe corpus shrank: {len(paths)} yamls"
+        for path in paths:
+            opts = parser.parse_args(["--common.config-file", path])
+            before = len(unknown)
+            load_config_file(opts)
+            unknown[before:] = [f"{os.path.basename(path)}: {m}"
+                                for m in unknown[before:]]
+    finally:
+        logger.warning = orig_warning
+    assert not unknown, "\n".join(unknown)
 
 
 @pytest.mark.parametrize("config_rel", _configs())
