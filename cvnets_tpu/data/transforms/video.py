@@ -347,6 +347,62 @@ class VideoShuffleAudios(BaseTransformation):
         return data
 
 
+@TRANSFORMATIONS_REGISTRY.register(name="save-inputs", type="video")
+class SaveInputs(BaseTransformation):
+    """Dump the clips a dataset __getitem__ produced, for eyeballing the
+    preprocessing (reference video.py:187-258). The reference muxes an
+    annotated video via pyav; this environment has no video encoder, so each
+    clip is written as per-frame PNGs plus an optional captions sidecar —
+    the same debugging affordance without the codec dependency."""
+
+    def __init__(self, opts, get_frame_captions=None, **kwargs) -> None:
+        super().__init__(opts)
+        self.enable = getattr(
+            opts, "video_augmentation.save_inputs.enable", False)
+        self.save_dir = getattr(
+            opts, "video_augmentation.save_inputs.save_dir", None)
+        self.get_frame_captions = get_frame_captions
+        if self.enable and not self.save_dir:
+            from cvnets_tpu.utils import logger
+
+            logger.error(
+                "Please provide a value for --video-augmentation.save-inputs.save-dir")
+        self._counter = 0
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument("--video-augmentation.save-inputs.enable",
+                           action="store_true", default=False)
+        group.add_argument("--video-augmentation.save-inputs.save-dir",
+                           type=str, default=None)
+        return parser
+
+    def __call__(self, data: Dict) -> Dict:
+        if not self.enable:
+            return data
+        import os
+
+        from PIL import Image
+
+        video = np.asarray(data.get("video") if "video" in data
+                           else data["samples"]["video"])
+        # accept [T,H,W,C] or [N,T,H,W,C]
+        clips = video[None] if video.ndim == 4 else video
+        out_dir = os.path.join(self.save_dir, f"sample_{self._counter:06d}")
+        os.makedirs(out_dir, exist_ok=True)
+        for ci, clip in enumerate(clips):
+            for fi, frame in enumerate(clip):
+                arr = np.clip(frame, 0, 1) if frame.dtype.kind == "f" else frame / 255.0
+                Image.fromarray((arr * 255).astype(np.uint8)).save(
+                    os.path.join(out_dir, f"clip{ci:02d}_frame{fi:04d}.png"))
+        if self.get_frame_captions is not None:
+            with open(os.path.join(out_dir, "captions.txt"), "w") as f:
+                f.write("\n".join(self.get_frame_captions(data)))
+        self._counter += 1
+        return data
+
+
 # ---- reference registry-name aliases (reference data/transforms/video.py
 # registers the spatial ops under the same names as the image tier with
 # type="video"; keep both spellings valid for config/programmatic parity)
