@@ -170,6 +170,10 @@ def get_conversion_arguments(args: Optional[List[str]] = None):
     group.add_argument("--conversion.bucket-name", type=str)
     group.add_argument("--conversion.task-id", type=str)
     group.add_argument("--conversion.viewers", type=str, nargs="+", default=None)
+    group.add_argument("--conversion.reparameterize", action="store_true",
+                       default=False,
+                       help="Fold re-parameterizable branches (MobileOne/"
+                            "FastViT) into deploy form before export")
     return parser_to_opts(parser, args=args)
 
 
