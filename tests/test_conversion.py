@@ -9,8 +9,20 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
+def _load_repo_main_conversion():
+    """Import THIS repo's main_conversion by path: the reference-parity tests
+    put /root/reference on sys.path, which also has a main_conversion.py."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "..", "main_conversion.py")
+    spec = importlib.util.spec_from_file_location("_repo_main_conversion", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_export_roundtrip_matches_jitted_forward(tmp_path):
-    from main_conversion import main_worker_conversion
+    main_worker_conversion = _load_repo_main_conversion().main_worker_conversion
 
     mlir_path = main_worker_conversion(args=[
         "--model.classification.name", "mobilenetv2",

@@ -90,10 +90,7 @@ def test_chain_sampler_sequential():
 def test_find_easy_samples_drops_indices_via_variable_sampler(tmp_path):
     """Sample-efficient training over the VariableBatchSampler contract
     (VERDICT r1 weak #10): confident samples must vanish from the schedule."""
-    import sys
-
-    sys.path.insert(0, "tests")
-    import dummy_datasets.classification  # noqa: F401
+    import tests.dummy_datasets.classification  # noqa: F401
 
     from cvnets_tpu.data.data_loaders import create_train_val_loader
     from cvnets_tpu.engine import Trainer

@@ -68,7 +68,7 @@ def test_frame_folder_reader_clip_sampling(tmp_path):
 def test_trainer_video_classification_one_epoch(tmp_path):
     """Kinetics-style spatio-temporal Trainer smoke over a dummy video dataset
     (VERDICT r1 item 8)."""
-    import dummy_datasets.video  # noqa: F401  (registers dummy_video)
+    import tests.dummy_datasets.video  # noqa: F401  (registers dummy_video)
 
     from cvnets_tpu.data.data_loaders import create_train_val_loader
     from cvnets_tpu.engine import Trainer
