@@ -49,7 +49,9 @@ def adjust_saturation(img, factor):
 
 
 def adjust_sharpness(img, factor):
-    """3×3 smoothing blend (torchvision sharpness kernel)."""
+    """3×3 smoothing blend (PIL SMOOTH kernel). PIL's filter leaves the 1-pixel
+    image border untouched, so the border is restored from the input before
+    blending (golden-tested against ImageEnhance.Sharpness)."""
     kernel = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], img.dtype) / 13.0
     blurred = jax.lax.conv_general_dilated(
         img[None] if img.ndim == 3 else img,
@@ -60,6 +62,11 @@ def adjust_sharpness(img, factor):
     )
     if img.ndim == 3:
         blurred = blurred[0]
+    h, w = img.shape[-3], img.shape[-2]
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+    interior = ((row > 0) & (row < h - 1) & (col > 0) & (col < w - 1))[..., None]
+    blurred = jnp.where(interior, blurred, img)
     return _blend(img, blurred, factor)
 
 
@@ -87,17 +94,28 @@ def autocontrast(img):
 
 
 def equalize(img):
-    """Per-channel histogram equalization on a single HWC image (vmap for batch)."""
+    """Per-channel histogram equalization on a single HWC image (vmap for batch).
+
+    Bit-exact float re-statement of PIL ImageOps.equalize's integer LUT:
+    ``step = (npixels - hist[last_nonzero]) // 255``,
+    ``lut[i] = (step//2 + cumsum(hist[:i])) // step`` (identity when step == 0).
+    Histogram counts are small integers, so float64-free floor arithmetic in
+    float32 is exact (golden-tested against PIL)."""
     def eq_channel(ch):
-        v = jnp.clip(ch * 255.0, 0, 255).astype(jnp.int32)
+        v = jnp.clip(jnp.round(ch * 255.0), 0, 255).astype(jnp.int32)
         hist = jnp.zeros((256,), jnp.float32).at[v.reshape(-1)].add(1.0)
-        cdf = jnp.cumsum(hist)
-        # torchvision-style: step = (total - last_nonzero_bin_count) / 255
         nonzero = hist > 0
         last_nz = jnp.max(jnp.where(nonzero, jnp.arange(256), 0))
-        step = (cdf[-1] - hist[last_nz]) / 255.0
-        lut = jnp.where(step > 0, jnp.clip((cdf - hist[last_nz] / 2) / jnp.maximum(step, 1e-6), 0, 255), jnp.arange(256, dtype=jnp.float32))
-        # map through LUT (identity where step == 0)
+        step = jnp.floor((jnp.sum(hist) - hist[last_nz]) / 255.0)
+        cum_excl = jnp.cumsum(hist) - hist
+        lut = jnp.floor((jnp.floor(step / 2.0) + cum_excl)
+                        / jnp.maximum(step, 1.0))
+        lut = jnp.clip(lut, 0.0, 255.0)
+        identity = jnp.arange(256, dtype=jnp.float32)
+        # identity when step == 0 or when <=1 nonzero bins (PIL short-circuits)
+        n_nonzero = jnp.sum(nonzero.astype(jnp.int32))
+        use_identity = (step <= 0) | (n_nonzero <= 1)
+        lut = jnp.where(use_identity, identity, lut)
         out = jnp.take(lut, v) / 255.0
         return out.astype(ch.dtype)
 
