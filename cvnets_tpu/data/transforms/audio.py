@@ -16,11 +16,16 @@ from cvnets_tpu.data.transforms import TRANSFORMATIONS_REGISTRY
 from cvnets_tpu.data.transforms.common import BaseTransformation
 
 
-@TRANSFORMATIONS_REGISTRY.register(name="audio_resample", type="audio")
+@TRANSFORMATIONS_REGISTRY.register(name="audio-resample", type="audio")
 class AudioResample(BaseTransformation):
+    """Linear-interpolation resample to a target rate (reference audio.py:414
+    ``audio-resample``; sox is replaced by numpy interp — no torchaudio in the
+    TPU pipeline)."""
+
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
         self.target_rate = getattr(
+            opts, "audio_augmentation.audio_resample.audio_fps", None) or getattr(
             opts, "audio_augmentation.audio_resample.sample_rate", 16000)
 
     @classmethod
@@ -28,6 +33,9 @@ class AudioResample(BaseTransformation):
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--audio-augmentation.audio-resample.enable",
                            action="store_true", default=False)
+        # reference flag name (audio.py:421)
+        group.add_argument("--audio-augmentation.audio-resample.audio-fps",
+                           type=int, default=None)
         group.add_argument("--audio-augmentation.audio-resample.sample-rate",
                            type=int, default=16000)
         return parser
@@ -45,18 +53,60 @@ class AudioResample(BaseTransformation):
         return data
 
 
-@TRANSFORMATIONS_REGISTRY.register(name="noise", type="audio")
+@TRANSFORMATIONS_REGISTRY.register(name="audio_ambient_noise", type="audio")
 class AudioNoise(BaseTransformation):
-    def __init__(self, opts, **kwargs) -> None:
+    """Ambient-noise mix-in (reference audio.py:64 ``audio_ambient_noise``).
+
+    With ``noise_files_dir`` (e.g. Speech Commands' ``_background_noise_``), a
+    cached random noise wave is cropped/circular-padded to the sample length and
+    added at a random dB level from ``--audio-augmentation.noise.levels``. Without
+    a directory, falls back to white noise at a random SNR from the snr-low/high
+    range (TPU-native extension; the reference requires noise files)."""
+
+    def __init__(self, opts, noise_files_dir: str = None, **kwargs) -> None:
         super().__init__(opts)
         self.snr_low = getattr(opts, "audio_augmentation.noise.snr_low", 10)
         self.snr_high = getattr(opts, "audio_augmentation.noise.snr_high", 30)
+        self.gain_levels = getattr(opts, "audio_augmentation.noise.levels",
+                                   None) or [-100]
+        self.cache_size = getattr(opts, "audio_augmentation.noise.cache_size", 10)
+        self.refresh_freq = getattr(opts, "audio_augmentation.noise.refresh_freq", 0)
+        self.refresh_counter = self.refresh_freq
+        self.noise_files_dir = noise_files_dir or getattr(
+            opts, "audio_augmentation.noise.files_dir", None)
+        self.noise_waves = (self._load_noise_files(self.cache_size)
+                            if self.noise_files_dir else [])
+
+    def _load_noise_files(self, n: int):
+        import os
+        import wave as wave_mod
+
+        paths = [os.path.join(self.noise_files_dir, f)
+                 for f in sorted(os.listdir(self.noise_files_dir))
+                 if f.endswith(".wav")]
+        waves = []
+        for p in random.sample(paths, min(n, len(paths))) if paths else []:
+            with wave_mod.open(p, "rb") as w:
+                audio = np.frombuffer(w.readframes(w.getnframes()),
+                                      np.int16).astype(np.float32) / 32768.0
+                waves.append((audio, float(w.getframerate())))
+        return waves
 
     @classmethod
     def add_arguments(cls, parser):
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--audio-augmentation.noise.enable",
                            action="store_true", default=False)
+        # reference flags (audio.py:118-152)
+        group.add_argument("--audio-augmentation.noise.levels", type=float,
+                           nargs="+", default=[-100])
+        group.add_argument("--audio-augmentation.noise.cache-size", type=int,
+                           default=10)
+        group.add_argument("--audio-augmentation.noise.files-dir", type=str,
+                           default=None)
+        group.add_argument("--audio-augmentation.noise.refresh-freq", type=int,
+                           default=0)
+        # white-noise fallback range (TPU-native extension)
         group.add_argument("--audio-augmentation.noise.snr-low", type=float,
                            default=10)
         group.add_argument("--audio-augmentation.noise.snr-high", type=float,
@@ -65,6 +115,22 @@ class AudioNoise(BaseTransformation):
 
     def __call__(self, data: Dict) -> Dict:
         audio = np.asarray(data["audio"], np.float32)
+        if self.noise_waves:
+            gain_level = random.choice(self.gain_levels)
+            noise_wave, _fps = random.choice(self.noise_waves)
+            n = audio.shape[-1]
+            if noise_wave.shape[-1] >= n:
+                start = random.randint(0, noise_wave.shape[-1] - n)
+                noise_wave = noise_wave[start:start + n]
+            else:  # circular pad to the sample length (reference audio.py:181)
+                reps = -(-n // noise_wave.shape[-1])
+                noise_wave = np.tile(noise_wave, reps)[:n]
+            data["audio"] = audio + 10.0 ** (gain_level / 20.0) * noise_wave
+            self.refresh_counter -= 1
+            if self.refresh_counter <= 0 and self.refresh_freq > 0:
+                self.noise_waves = self._load_noise_files(self.cache_size)
+                self.refresh_counter = self.refresh_freq
+            return data
         snr_db = random.uniform(self.snr_low, self.snr_high)
         sig_power = np.mean(audio**2) + 1e-10
         noise_power = sig_power / (10 ** (snr_db / 10))
@@ -73,10 +139,15 @@ class AudioNoise(BaseTransformation):
         return data
 
 
-@TRANSFORMATIONS_REGISTRY.register(name="gain", type="audio")
+@TRANSFORMATIONS_REGISTRY.register(name="audio_gain", type="audio")
 class AudioGain(BaseTransformation):
+    """Scale by a random dB level from ``--audio-augmentation.gain.levels``
+    (reference audio.py:19); falls back to a uniform db-low/high range when no
+    levels are given."""
+
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
+        self.levels = getattr(opts, "audio_augmentation.gain.levels", None)
         self.low = getattr(opts, "audio_augmentation.gain.db_low", -10.0)
         self.high = getattr(opts, "audio_augmentation.gain.db_high", 10.0)
 
@@ -85,6 +156,9 @@ class AudioGain(BaseTransformation):
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--audio-augmentation.gain.enable",
                            action="store_true", default=False)
+        # reference flag (audio.py:33): discrete dB levels, one chosen per sample
+        group.add_argument("--audio-augmentation.gain.levels", type=float,
+                           nargs="+", default=None)
         group.add_argument("--audio-augmentation.gain.db-low", type=float,
                            default=-10.0)
         group.add_argument("--audio-augmentation.gain.db-high", type=float,
@@ -92,7 +166,8 @@ class AudioGain(BaseTransformation):
         return parser
 
     def __call__(self, data: Dict) -> Dict:
-        db = random.uniform(self.low, self.high)
+        db = (random.choice(self.levels) if self.levels
+              else random.uniform(self.low, self.high))
         data["audio"] = np.asarray(data["audio"], np.float32) * (10 ** (db / 20))
         return data
 
