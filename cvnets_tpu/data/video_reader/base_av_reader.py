@@ -37,7 +37,32 @@ class BaseAVReader:
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--video-reader.frames-per-clip", type=int, default=8)
         group.add_argument("--video-reader.clips-per-video", type=int, default=1)
+        group.add_argument("--video-reader.frame-fps", type=float, default=30.0,
+                           help="Nominal fps of frame-folder videos (used to"
+                                " align sidecar audio with sampled clips).")
         return parser
+
+    def _read_clip_audio(self, wav_path: str, clip_ids: List[List[int]],
+                         fps: float) -> Optional[Dict]:
+        """Slice a sidecar WAV into per-clip segments aligned with the sampled
+        frame windows (reference base_av_reader.py A/V sync: the audio tensor is
+        [n_clips, samples, channels] covering the same time span as each clip)."""
+        import wave
+
+        with wave.open(wav_path, "rb") as w:
+            rate = float(w.getframerate())
+            n_ch = w.getnchannels()
+            raw = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+        audio = (raw.astype(np.float32) / 32768.0).reshape(-1, n_ch)
+        seg_len = max(1, int(round(self.frames_per_clip / fps * rate)))
+        segs = []
+        for ids in clip_ids:
+            start = int(round(ids[0] / fps * rate))
+            seg = audio[start:start + seg_len]
+            if seg.shape[0] < seg_len:
+                seg = np.pad(seg, ((0, seg_len - seg.shape[0]), (0, 0)))
+            segs.append(seg)
+        return {"audio": np.stack(segs), "audio_fps": rate}
 
     def _sample_frame_ids(self, total: int) -> List[List[int]]:
         """random clips when training, uniform spread at eval
@@ -63,7 +88,10 @@ class BaseAVReader:
 
 @VIDEO_READER_REGISTRY.register(name="frame_folder")
 class FrameFolderReader(BaseAVReader):
-    """Reads a directory of ordered frame images as a video."""
+    """Reads a directory of ordered frame images as a video. A sidecar
+    ``audio.wav`` inside the folder (or ``<folder>.wav`` next to it) is sliced
+    into clip-aligned segments, giving the full A/V contract without a native
+    container decoder."""
 
     def read_video(self, path: str) -> Optional[Dict]:
         from PIL import Image
@@ -76,14 +104,25 @@ class FrameFolderReader(BaseAVReader):
         )
         if not frames:
             return None
+        clip_ids = self._sample_frame_ids(len(frames))
         clips = []
-        for ids in self._sample_frame_ids(len(frames)):
+        for ids in clip_ids:
             imgs = []
             for i in ids:
                 img = Image.open(os.path.join(path, frames[i])).convert("RGB")
                 imgs.append(np.asarray(img, np.float32) / 255.0)
             clips.append(np.stack(imgs))
-        return {"video": np.stack(clips), "audio": None}
+        out = {"video": np.stack(clips), "audio": None,
+               "metadata": {"video_fps": getattr(
+                   self.opts, "video_reader.frame_fps", 30.0)}}
+        for wav in (os.path.join(path, "audio.wav"), path.rstrip("/") + ".wav"):
+            if os.path.isfile(wav):
+                fps = out["metadata"]["video_fps"]
+                audio = self._read_clip_audio(wav, clip_ids, fps)
+                out["audio"] = audio["audio"]
+                out["metadata"]["audio_fps"] = audio["audio_fps"]
+                break
+        return out
 
 
 @VIDEO_READER_REGISTRY.register(name="pyav")

@@ -48,6 +48,26 @@ def test_equalize_identity_on_degenerate_histogram():
     assert _maxdiff(O.equalize(f), ImageOps.equalize(pil)) < 0.5
 
 
+def test_rotate_direction_matches_pil_ccw():
+    # PIL/torchvision rotate with a positive angle is COUNTER-clockwise; at 90°
+    # on a square image bilinear sampling hits exact grid points, so the result
+    # must equal np.rot90(img, k=1) exactly
+    u8, pil, f = _fixed_image(3, (32, 32, 3))
+    ours = np.asarray(O.rotate(f, 90.0)) * 255.0
+    assert np.abs(ours - np.rot90(u8, 1).astype(np.float32)).max() < 0.5
+    ref = np.asarray(pil.rotate(90), np.float32)
+    assert np.abs(ours - ref).max() < 0.5
+
+
+def test_translate_integer_shift_exact():
+    # integer-pixel translation must be an exact shift with fill at the edge
+    _, _, f = _fixed_image(4, (16, 16, 3))
+    out = np.asarray(O.translate_x(f, 3.0, fill=0.0))
+    ref = np.asarray(f)
+    assert np.allclose(out[:, :-3], ref[:, 3:], atol=1e-6)
+    assert np.allclose(out[:, -3:], 0.0, atol=1e-6)
+
+
 @pytest.mark.parametrize("factor", [0.1, 0.3, 0.9, 1.0, 1.7])
 def test_enhance_ops_match_pil(factor):
     _, pil, f = _fixed_image()

@@ -121,3 +121,42 @@ def test_make_video_pairs_constant_budget():
     for h, w, f in pairs:
         assert 0.4 * budget <= h * w * f <= 1.8 * budget
         assert h % 32 == 0 and w % 32 == 0 and f >= 1
+
+
+def test_frame_folder_reader_sidecar_audio_sync(tmp_path):
+    import argparse
+    import wave
+
+    from PIL import Image
+
+    from cvnets_tpu.data.video_reader.base_av_reader import FrameFolderReader
+
+    vdir = tmp_path / "vid"
+    vdir.mkdir()
+    n_frames, fps, rate = 20, 10.0, 100
+    for i in range(n_frames):
+        Image.new("RGB", (8, 8), (i * 10 % 255, 0, 0)).save(
+            vdir / f"frame_{i:04d}.jpg")
+    # ramp audio: sample value encodes its index, so clip windows are checkable
+    total_samples = int(n_frames / fps * rate)  # 200
+    ramp = (np.arange(total_samples, dtype=np.float32) / total_samples)
+    with wave.open(str(vdir / "audio.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((ramp * 32767).astype("<i2").tobytes())
+
+    opts = argparse.Namespace()
+    setattr(opts, "video_reader.frames_per_clip", 4)
+    setattr(opts, "video_reader.clips_per_video", 2)
+    setattr(opts, "video_reader.frame_fps", fps)
+    reader = FrameFolderReader(opts, is_training=False)
+    blob = reader.read_video(str(vdir))
+    # 4 frames @ 10fps → 0.4s → 40 audio samples per clip
+    assert blob["audio"].shape == (2, 40, 1)
+    assert blob["metadata"]["audio_fps"] == rate
+    # eval clips spread linearly: clip 0 starts at frame 0 → audio sample 0,
+    # clip 1 at frame 16 → audio sample 160 (A/V sync)
+    assert abs(blob["audio"][0, 0, 0] - ramp[0]) < 1e-3
+    assert abs(blob["audio"][0, -1, 0] - ramp[39]) < 1e-3
+    assert abs(blob["audio"][1, 0, 0] - ramp[160]) < 1e-3
