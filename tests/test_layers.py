@@ -95,3 +95,21 @@ def test_train_step_rng_streams_independent_across_steps():
     u = [float(jax.random.uniform(jax.random.split(
         jax.random.fold_in(rng, s), 3)[i])) for s in range(3) for i in range(3)]
     assert len(set(round(x, 9) for x in u)) == len(u)
+
+
+def test_token_merging_window_and_padding():
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvnets_tpu.layers.token_merging import TokenMerging
+
+    opts = argparse.Namespace()
+    layer = TokenMerging(opts, dim=16, window=2)
+    x = jnp.ones((2, 7, 8))  # 7 tokens: pads to 8 → 4 merged tokens
+    params = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(params, x)
+    assert out.shape == (2, 4, 16)
+    # even-length input merges without padding
+    assert layer.apply(params, jnp.ones((2, 8, 8))).shape == (2, 4, 16)
