@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cvnets_tpu.constants import if_test_env
-from cvnets_tpu.layers.conv_layer import SeparableConv2d
+from cvnets_tpu.layers.conv_layer import ConvLayer2d, SeparableConv2d
 from cvnets_tpu.models import MODEL_REGISTRY
 from cvnets_tpu.models.anchor_generator import build_anchor_generator
 from cvnets_tpu.models.detection import DetectionPredTuple
@@ -125,20 +125,32 @@ class SingleShotMaskDetector(BaseDetection):
         self.encoder = self.build_encoder(opts)
         output_strides = self.anchor_generator.output_strides
         n_os = len(output_strides)
-        proj_channels = getattr(opts, "model.detection.ssd.proj_channels", None) \
-            or [512, 256, 256, 128, 128, 64][:n_os]
+        proj_channels = list(
+            getattr(opts, "model.detection.ssd.proj_channels", None)
+            or [512, 256, 256, 128, 128, 64][:n_os])
+        # reference ssd.py:84-85: pad with 256 when fewer entries than strides
+        proj_channels = proj_channels + [256] * (n_os - len(proj_channels))
+        self.proj_channels_list = proj_channels
         use_fpn = getattr(opts, "model.detection.ssd.use_fpn", False)
         anchors_per_os = self.anchor_generator.num_anchors_per_os()
 
-        # extra stride layers beyond the encoder's os-32
+        # extra stride layers beyond the encoder's os-32 (reference ssd.py:86-121):
+        # each os>32 is a stride-2 separable conv to proj_channels[idx]; os=-1 is
+        # global-pool + 1x1 conv (act, no norm) to proj_channels[idx]
         extra = []
-        for os_ in output_strides:
-            if os_ in (-1, 16, 32):
+        for idx, os_ in enumerate(output_strides):
+            if os_ in (8, 16, 32):
                 continue
-            extra.append(SeparableConv2d(
-                opts=opts, in_channels=proj_channels[0], out_channels=256,
-                kernel_size=3, stride=2, use_norm=True, use_act=True,
-            ))
+            if os_ == -1:
+                extra.append(ConvLayer2d(
+                    opts=opts, out_channels=proj_channels[idx], kernel_size=1,
+                    use_norm=False, use_act=True, bias=False,
+                ))
+            else:
+                extra.append(SeparableConv2d(
+                    opts=opts, in_channels=-1, out_channels=proj_channels[idx],
+                    kernel_size=3, stride=2, use_norm=True, use_act=True,
+                ))
         self.extra_layers = extra
 
         if use_fpn:
@@ -155,7 +167,7 @@ class SingleShotMaskDetector(BaseDetection):
             heads.append(SSDHead(
                 opts=opts, n_classes=self.n_detection_classes,
                 n_anchors=anchors_per_os[i],
-                proj_channels=proj_channels[i] if i < len(proj_channels) else -1,
+                proj_channels=proj_channels[i],
                 kernel_size=3 if os_ != -1 else 1,
             ))
         self.ssd_heads = heads
@@ -186,7 +198,9 @@ class SingleShotMaskDetector(BaseDetection):
                 fm = end_points["out_l5"]
             elif os_ == -1:
                 src = prev if prev is not None else end_points["out_l5"]
-                fm = jnp.mean(src, axis=(1, 2), keepdims=True)
+                pooled = jnp.mean(src, axis=(1, 2), keepdims=True)
+                fm = self.extra_layers[extra_i](pooled, training=training)
+                extra_i += 1
             else:
                 src = prev if prev is not None else end_points["out_l5"]
                 fm = self.extra_layers[extra_i](src, training=training)

@@ -80,8 +80,29 @@ def install_torchvision_stub() -> None:
     class MaskRCNN(_ImportOnlyStub):
         pass
 
-    def batched_nms(*args, **kwargs):
-        raise NotImplementedError("torchvision stub: batched_nms unavailable")
+    def batched_nms(boxes, scores, idxs, iou_threshold):
+        # pure-torch greedy NMS with the class-offset trick (torchvision
+        # semantics); only used by parity tests, perf is irrelevant
+        if boxes.numel() == 0:
+            return torch.empty((0,), dtype=torch.int64)
+        offsets = idxs.to(boxes) * (boxes.max() + 1.0)
+        b = boxes + offsets[:, None]
+        areas = (b[:, 2] - b[:, 0]).clamp(min=0) * (b[:, 3] - b[:, 1]).clamp(min=0)
+        order = scores.argsort(descending=True)
+        suppressed = torch.zeros(b.shape[0], dtype=torch.bool)
+        keep = []
+        for i in order.tolist():
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            xx1 = torch.maximum(b[i, 0], b[:, 0])
+            yy1 = torch.maximum(b[i, 1], b[:, 1])
+            xx2 = torch.minimum(b[i, 2], b[:, 2])
+            yy2 = torch.minimum(b[i, 3], b[:, 3])
+            inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
+            iou = inter / (areas[i] + areas - inter + 1e-12)
+            suppressed |= iou > iou_threshold
+        return torch.as_tensor(keep, dtype=torch.int64)
 
     tv = types.ModuleType("torchvision")
     tv.__version__ = "0.0.0-stub"

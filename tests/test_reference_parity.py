@@ -170,3 +170,123 @@ def test_parity_fastvit_t8():
         ["--model.classification.fastvit.variant", "T8",
          "--model.activation.name", "gelu"],
         hw=64, atol=5e-4)
+
+
+def test_parity_segmentation_deeplabv3_mobilenetv2():
+    """Converter walk across an encoder-decoder tree: MobileNetV2 backbone +
+    ASPP head (reference cvnets/models/segmentation/enc_dec.py:95)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.utils.torch_checkpoint_converter import convert_torch_checkpoint
+
+    opts = get_training_arguments(args=[
+        "--dataset.category", "segmentation",
+        "--model.segmentation.name", "encoder_decoder",
+        "--model.segmentation.seg-head", "deeplabv3",
+        "--model.segmentation.n-classes", "13",
+        "--model.segmentation.output-stride", "16",
+        "--model.classification.name", "mobilenetv2",
+    ])
+    # attrs the reference reads but our parser doesn't define
+    setattr(opts, "model.segmentation.norm_layer", None)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+
+    ref = build_reference_model(opts, category="segmentation")
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        ref_y = ref(xt)
+    if isinstance(ref_y, (tuple, list)):
+        ref_y = ref_y[0]
+    ref_y = ref_y.numpy().transpose(0, 2, 3, 1)  # NCHW → NHWC
+    state = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    model = get_model(opts)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), training=False)
+    params, batch_stats, unmatched = convert_torch_checkpoint(
+        state, variables["params"], variables.get("batch_stats"))
+    new_vars = dict(variables, params=params)
+    if batch_stats is not None and "batch_stats" in variables:
+        new_vars["batch_stats"] = batch_stats
+    our_y = np.asarray(model.apply(new_vars, jnp.asarray(x), training=False))
+    if isinstance(our_y, dict):
+        our_y = our_y["segmentation_output"]
+
+    real_unmatched = [u for u in unmatched if "num_batches_tracked" not in u]
+    assert not real_unmatched, f"unmatched leaves: {real_unmatched[:10]}"
+    assert our_y.shape == ref_y.shape
+    # bilinear-upsample borders differ slightly between frameworks; compare
+    # the dominant signal: max diff and per-pixel argmax agreement
+    diff = float(np.max(np.abs(our_y - ref_y)))
+    assert diff < 5e-3, f"segmentation max |logit diff| = {diff:.2e}"
+    agree = float(np.mean(our_y.argmax(-1) == ref_y.argmax(-1)))
+    assert agree > 0.999, f"argmax agreement {agree}"
+
+
+def test_parity_ssd_mobilenetv2():
+    """Converter walk across the SSD tree: extra-stride layers + per-stride
+    heads + anchors (reference cvnets/models/detection/ssd.py:326-392)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.utils.torch_checkpoint_converter import convert_torch_checkpoint
+
+    opts = get_training_arguments(args=[
+        "--dataset.category", "detection",
+        "--model.detection.name", "ssd",
+        "--model.detection.n-classes", "7",
+        "--model.classification.name", "mobilenetv2",
+        "--anchor-generator.name", "ssd",
+        "--matcher.name", "ssd",
+    ])
+    # our parser registers these with default None; the reference reads them
+    # with getattr defaults that never fire on an existing attr — pin them
+    setattr(opts, "anchor_generator.ssd.output_strides", [16, 32, 64, 128, 256, -1])
+    setattr(opts, "anchor_generator.ssd.aspect_ratios", [[2, 3]] * 6)
+    setattr(opts, "anchor_generator.ssd.min_scale_ratio", 0.1)
+    setattr(opts, "anchor_generator.ssd.max_scale_ratio", 1.05)
+    setattr(opts, "model.detection.ssd.output_strides", [16, 32, 64, 128, 256, -1])
+    setattr(opts, "model.detection.ssd.proj_channels", [512, 256, 256, 128, 128, 64])
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 128, 128, 3)).astype(np.float32)
+
+    ref = build_reference_model(opts, category="detection")
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        ref_out = ref(xt)
+    if isinstance(ref_out, dict):
+        ref_conf, ref_loc = ref_out["scores"], ref_out["boxes"]
+    else:
+        ref_conf, ref_loc = ref_out[0], ref_out[1]
+    state = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    model = get_model(opts)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), training=False)
+    params, batch_stats, unmatched = convert_torch_checkpoint(
+        state, variables["params"], variables.get("batch_stats"))
+    new_vars = dict(variables, params=params)
+    if batch_stats is not None and "batch_stats" in variables:
+        new_vars["batch_stats"] = batch_stats
+    out = model.apply(new_vars, jnp.asarray(x), training=False)
+
+    real_unmatched = [u for u in unmatched if "num_batches_tracked" not in u]
+    assert not real_unmatched, f"unmatched leaves: {real_unmatched[:10]}"
+    our_conf = np.asarray(out["scores"])
+    our_loc = np.asarray(out["boxes"])
+    assert our_conf.shape == tuple(ref_conf.shape), (
+        f"{our_conf.shape} vs {tuple(ref_conf.shape)}")
+    cdiff = float(np.max(np.abs(our_conf - ref_conf.numpy())))
+    ldiff = float(np.max(np.abs(our_loc - ref_loc.numpy())))
+    assert cdiff < 1e-3, f"ssd conf max diff {cdiff:.2e}"
+    assert ldiff < 1e-3, f"ssd loc max diff {ldiff:.2e}"
