@@ -1,5 +1,5 @@
 """Text transformer encoder for CLIP (parity: reference
-cvnets/text_encoders/transformer.py:26-530): token embedding (scaled), learnable
+cvnets/text_encoders/transformer.py:26-530): token embedding, learnable
 positional embedding, pre-norm transformer stack with causal masking, final LN,
 features at the EOT token (highest token id), linear projection.
 
@@ -109,8 +109,11 @@ class TextTransformer(BaseTextEncoder):
             (vocab_size, model_dim),
         )
         x = jnp.take(table, text, axis=0)
-        if not no_scale:
-            x = x * (model_dim**-0.5)
+        # NOTE: the reference computes embed_scale but its application is
+        # commented out (reference transformer.py:334) — embeddings are NOT
+        # scaled, regardless of --model.text.transformer.no-scale-embedding.
+        # Mirror that for checkpoint/logit parity (test_parity_clip_mobilenetv2).
+        del no_scale
         if not no_pos:
             x = PositionalEmbedding(
                 num_embeddings=context_len, embedding_dim=model_dim,

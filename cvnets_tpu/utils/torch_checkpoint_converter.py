@@ -178,6 +178,9 @@ def convert_torch_checkpoint(
         # SE units: torch declares them before the branch convs in some blocks
         # (FastViT MobileOneBlock), flax materializes them at call time
         ("/se/", ".se."),
+        # CLIP text projection: torch registers projection_layer in __init__
+        # order (before the transformer stack), flax at end-of-call
+        ("text_encoder/projection", "text_encoder.projection_layer"),
     )
     pre_matched_f: set = set()
     pre_matched_t: set = set()

@@ -290,3 +290,80 @@ def test_parity_ssd_mobilenetv2():
     ldiff = float(np.max(np.abs(our_loc - ref_loc.numpy())))
     assert cdiff < 1e-3, f"ssd conf max diff {cdiff:.2e}"
     assert ldiff < 1e-3, f"ssd loc max diff {ldiff:.2e}"
+
+
+def test_parity_clip_mobilenetv2():
+    """Converter walk across the CLIP tree: image encoder with projection head,
+    text transformer with causal masking, logit_scale scalar (reference
+    cvnets/models/multi_modal_img_text/clip.py:144-211)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.utils.torch_checkpoint_converter import convert_torch_checkpoint
+
+    opts = get_training_arguments(args=[
+        "--dataset.category", "multi_modal_image_text",
+        "--model.classification.name", "mobilenetv2",
+    ])
+    setattr(opts, "model.multi_modal_image_text.name", "clip")
+    setattr(opts, "model.multi_modal_image_text.clip.projection_dim", 32)
+    setattr(opts, "model.text.name", "transformer")
+    setattr(opts, "model.text.vocab_size", 64)
+    setattr(opts, "model.text.context_length", 12)
+    setattr(opts, "model.text.transformer.model_dim", 48)
+    setattr(opts, "model.text.transformer.n_transformer_layers", 2)
+    setattr(opts, "model.text.transformer.n_heads_per_layer", [4, 4])
+    setattr(opts, "model.text.transformer.ffn_multiplier_per_layer", 4.0)
+    setattr(opts, "model.text.transformer.causal_masking", True)
+    setattr(opts, "model.text.transformer.norm_layer", "layer_norm")
+    # attrs only the reference reads
+    setattr(opts, "dataset.text_vocab_size", 64)
+    setattr(opts, "dataset.text_context_length", 12)
+    setattr(opts, "dataset.padding_index", None)
+    setattr(opts, "model.multi_modal_image_text.freeze_batch_norm", False)
+    setattr(opts, "model.image_projection_head.name", "global_pool_nchw2nc")
+    setattr(opts,
+            "model.image_projection_head.global_pool_nchw2nc.identity_if_same_size",
+            False)
+    setattr(opts,
+            "model.image_projection_head.global_pool_nchw2nc.no_feature_normalization",
+            False)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    tokens = rng.integers(1, 62, (2, 12))
+    tokens[:, -1] = 63  # EOT = max id, feature taken at argmax position
+
+    ref = build_reference_model(opts, category="multi_modal_image_text")
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        ref_out = ref({"image": xt, "text": torch.from_numpy(tokens)})
+    state = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    model = get_model(opts)
+    jx = jnp.asarray(x)
+    jtok = jnp.asarray(tokens)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           {"image": jx, "text": jtok}, training=False)
+    params, batch_stats, unmatched = convert_torch_checkpoint(
+        state, variables["params"], variables.get("batch_stats"))
+    new_vars = dict(variables, params=params)
+    if batch_stats is not None and "batch_stats" in variables:
+        new_vars["batch_stats"] = batch_stats
+    out = model.apply(new_vars, {"image": jx, "text": jtok}, training=False)
+
+    real_unmatched = [u for u in unmatched if "num_batches_tracked" not in u]
+    assert not real_unmatched, f"unmatched leaves: {real_unmatched[:10]}"
+
+    def norm(a):
+        a = np.asarray(a, np.float32)
+        return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+    img_diff = float(np.max(np.abs(norm(out["image"]) - norm(ref_out["image"]))))
+    txt_diff = float(np.max(np.abs(norm(out["text"]) - norm(ref_out["text"]))))
+    assert img_diff < 1e-3, f"clip image emb max diff {img_diff:.2e}"
+    assert txt_diff < 1e-3, f"clip text emb max diff {txt_diff:.2e}"
