@@ -54,6 +54,10 @@ class PositionalEmbedding(nn.Module):
     is_learnable: bool = True
     interpolation_mode: str = "bilinear"
     std: float = 0.02
+    # "interpolate": resample the table to the sequence length (ViT semantics);
+    # "slice": take the first seq_len rows (ByteFormer — the reference asks the
+    # table for max_num_tokens and slices, byteformer.py:353)
+    resize_mode: str = "interpolate"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -66,5 +70,8 @@ class PositionalEmbedding(nn.Module):
             )
         else:
             table = _sinusoidal_table(self.num_embeddings, self.embedding_dim)
-        table = interpolate_pos_embed(table, seq_len)
+        if self.resize_mode == "slice" and seq_len <= self.num_embeddings:
+            table = table[:seq_len]
+        else:
+            table = interpolate_pos_embed(table, seq_len)
         return x + table[None, :, :].astype(x.dtype)

@@ -26,7 +26,11 @@ class TokenMerging(nn.Module):
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
             n = n + pad
-        x = x.reshape(b, n // self.window, self.window * c)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        # reference token_merging.py:60-63: unfold is CHANNEL-major
+        # ([B, N//w, C, w] -> C*w), then reduction (no bias), then LayerNorm
+        x = x.reshape(b, n // self.window, self.window, c)
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(b, n // self.window,
+                                                   c * self.window)
         x = nn.Dense(self.dim, use_bias=False, name="reduction")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return x

@@ -53,6 +53,11 @@ class ByteFormerTokenMerging(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, training: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         b, n, c = x.shape
+        # reference token_merging.py:53-63: zero masked tokens, pad, unfold
+        # CHANNEL-major ([B, N//w, C, w] -> C*w), reduction Linear (no bias),
+        # THEN LayerNorm over dim — order and layout must match for checkpoint
+        # parity (test_parity_byteformer_tiny)
+        x = jnp.where(mask[..., None], 0.0, x)
         pad = (-n) % self.window
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
@@ -61,10 +66,12 @@ class ByteFormerTokenMerging(nn.Module):
         else:
             mask = mask.astype(jnp.float32)
         n_pad = n + pad
-        x = x.reshape(b, n_pad // self.window, self.window * c)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = x.reshape(b, n_pad // self.window, self.window, c)
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(
+            b, n_pad // self.window, c * self.window)
         x = nn.Dense(self.dim, use_bias=False, kernel_init=linear_init(self.opts),
                      dtype=compute_dtype(self.opts), name="reduction")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         # merged token is masked only if ALL constituents were masked
         new_mask = mask.reshape(b, n_pad // self.window, self.window).min(axis=-1) > 0.5
         return x, new_mask
@@ -104,6 +111,11 @@ class ByteFormer(BaseAnyNNModel):
         group.add_argument("--model.classification.byteformer.downsample",
                            type=str, nargs="+", default=None,
                            help="Per-layer true/false: merge tokens after the layer")
+        group.add_argument("--model.classification.byteformer.mask-windowed-attn",
+                           action="store_true", default=False,
+                           help="Strictly mask padded tokens and shifted-window "
+                                "wrap-around in attention (the reference "
+                                "computes but never applies these masks)")
         group.add_argument("--model.classification.byteformer.padding-index",
                            type=int, default=-1)
         group.add_argument(
@@ -169,6 +181,7 @@ class ByteFormer(BaseAnyNNModel):
             num_embeddings=max_tokens, embedding_dim=embed_dim,
             is_learnable=not getattr(
                 opts, "model.classification.byteformer.sinusoidal_pos_emb", False),
+            resize_mode="slice",
             name="pos_embed",
         )(h)
         if cfg["pos_emb_drop_p"] > 0:

@@ -181,6 +181,10 @@ def convert_torch_checkpoint(
         # CLIP text projection: torch registers projection_layer in __init__
         # order (before the transformer stack), flax at end-of-call
         ("text_encoder/projection", "text_encoder.projection_layer"),
+        # ByteFormer downsamplers: torch groups them in a ModuleDict after the
+        # block ModuleList; flax interleaves them with the blocks (both sides
+        # enumerate downsample_3, _7, _11 in the same numeric order)
+        ("downsample_", "downsamplers.downsample_"),
     )
     pre_matched_f: set = set()
     pre_matched_t: set = set()

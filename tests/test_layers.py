@@ -113,3 +113,27 @@ def test_token_merging_window_and_padding():
     assert out.shape == (2, 4, 16)
     # even-length input merges without padding
     assert layer.apply(params, jnp.ones((2, 8, 8))).shape == (2, 4, 16)
+
+
+def test_windowed_transformer_strict_masking_invariance():
+    """With --model.classification.byteformer.mask-windowed-attn, masked tokens
+    must not influence unmasked outputs (the reference computes but never
+    applies these masks — our strict mode is the corrected variant)."""
+    import argparse
+
+    from cvnets_tpu.modules.windowed_transformer import WindowedTransformerEncoder
+
+    opts = argparse.Namespace()
+    setattr(opts, "model.classification.byteformer.mask_windowed_attn", True)
+    m = WindowedTransformerEncoder(opts=opts, embed_dim=16, ffn_latent_dim=32,
+                                   num_heads=4, window_size=8, window_shift=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16)).astype(np.float32))
+    mask = jnp.zeros((1, 16), bool).at[:, 12:].set(True)
+    v = m.init(jax.random.PRNGKey(0), x, key_padding_mask=mask)
+    y1 = m.apply(v, x, key_padding_mask=mask)
+    # change the masked tokens' contents; unmasked outputs must be identical
+    x2 = x.at[:, 12:].set(99.0)
+    y2 = m.apply(v, x2, key_padding_mask=mask)
+    np.testing.assert_allclose(np.asarray(y1[:, :12]), np.asarray(y2[:, :12]),
+                               atol=1e-5)

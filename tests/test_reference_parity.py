@@ -367,3 +367,61 @@ def test_parity_clip_mobilenetv2():
     txt_diff = float(np.max(np.abs(norm(out["text"]) - norm(ref_out["text"]))))
     assert img_diff < 1e-3, f"clip image emb max diff {img_diff:.2e}"
     assert txt_diff < 1e-3, f"clip text emb max diff {txt_diff:.2e}"
+
+
+def test_parity_byteformer_tiny():
+    """Converter walk across ByteFormer: byte embedding, conv token reduction,
+    windowed transformer stack with shifts, token-merging downsamplers
+    (reference cvnets/models/classification/byteformer.py:412-431)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.utils.torch_checkpoint_converter import convert_torch_checkpoint
+
+    opts = get_training_arguments(args=[
+        "--dataset.category", "classification",
+        "--model.classification.name", "byteformer",
+        "--model.classification.n-classes", "13",
+        "--model.classification.byteformer.mode", "tiny",
+        "--model.classification.byteformer.conv-kernel-size", "8",
+        "--model.classification.byteformer.max-num-tokens", "1024",
+        "--model.classification.byteformer.window-sizes", "32",
+        "--model.activation.name", "gelu",
+    ])
+    n_layers = 12
+    setattr(opts, "model.classification.byteformer.window_shifts",
+            [0 if i % 2 == 0 else 16 for i in range(n_layers)])
+    setattr(opts, "model.classification.byteformer.downsample",
+            [i % 4 == 3 for i in range(n_layers)])
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, (2, 512))
+
+    ref = build_reference_model(opts)
+    with torch.no_grad():
+        ref_y = ref(torch.from_numpy(tokens))
+    if isinstance(ref_y, dict):
+        ref_y = ref_y.get("logits", next(iter(ref_y.values())))
+    state = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    model = get_model(opts)
+    jtok = jnp.asarray(tokens)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)}, jtok,
+                           training=False)
+    params, batch_stats, unmatched = convert_torch_checkpoint(
+        state, variables["params"], variables.get("batch_stats"))
+    new_vars = dict(variables, params=params)
+    if batch_stats is not None and "batch_stats" in variables:
+        new_vars["batch_stats"] = batch_stats
+    our_y = np.asarray(model.apply(new_vars, jtok, training=False))
+    if isinstance(our_y, dict):
+        our_y = our_y.get("logits", next(iter(our_y.values())))
+
+    real_unmatched = [u for u in unmatched if "num_batches_tracked" not in u]
+    assert not real_unmatched, f"unmatched leaves: {real_unmatched[:10]}"
+    assert our_y.shape == ref_y.numpy().shape
+    diff = float(np.max(np.abs(our_y - ref_y.numpy())))
+    assert diff < 5e-4, f"byteformer max |logit diff| = {diff:.2e}"
