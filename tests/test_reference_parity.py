@@ -425,3 +425,57 @@ def test_parity_byteformer_tiny():
     assert our_y.shape == ref_y.numpy().shape
     diff = float(np.max(np.abs(our_y - ref_y.numpy())))
     assert diff < 5e-4, f"byteformer max |logit diff| = {diff:.2e}"
+
+
+def test_parity_segmentation_pspnet_mobilenetv2():
+    """PSP head variant of the encoder-decoder parity walk (reference
+    cvnets/models/segmentation/heads/pspnet.py:19)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.utils.torch_checkpoint_converter import convert_torch_checkpoint
+
+    opts = get_training_arguments(args=[
+        "--dataset.category", "segmentation",
+        "--model.segmentation.name", "encoder_decoder",
+        "--model.segmentation.seg-head", "pspnet",
+        "--model.segmentation.n-classes", "13",
+        "--model.segmentation.output-stride", "16",
+        "--model.classification.name", "mobilenetv2",
+    ])
+    setattr(opts, "model.segmentation.norm_layer", None)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+
+    ref = build_reference_model(opts, category="segmentation")
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        ref_y = ref(xt)
+    if isinstance(ref_y, (tuple, list)):
+        ref_y = ref_y[0]
+    ref_y = ref_y.numpy().transpose(0, 2, 3, 1)
+    state = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    model = get_model(opts)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), training=False)
+    params, batch_stats, unmatched = convert_torch_checkpoint(
+        state, variables["params"], variables.get("batch_stats"))
+    new_vars = dict(variables, params=params)
+    if batch_stats is not None and "batch_stats" in variables:
+        new_vars["batch_stats"] = batch_stats
+    our_y = np.asarray(model.apply(new_vars, jnp.asarray(x), training=False))
+    if isinstance(our_y, dict):
+        our_y = our_y["segmentation_output"]
+
+    real_unmatched = [u for u in unmatched if "num_batches_tracked" not in u]
+    assert not real_unmatched, f"unmatched leaves: {real_unmatched[:10]}"
+    assert our_y.shape == ref_y.shape
+    diff = float(np.max(np.abs(our_y - ref_y)))
+    assert diff < 5e-3, f"pspnet max |logit diff| = {diff:.2e}"
+    agree = float(np.mean(our_y.argmax(-1) == ref_y.argmax(-1)))
+    assert agree > 0.999, f"argmax agreement {agree}"
