@@ -479,3 +479,76 @@ def test_parity_segmentation_pspnet_mobilenetv2():
     assert diff < 5e-3, f"pspnet max |logit diff| = {diff:.2e}"
     agree = float(np.mean(our_y.argmax(-1) == ref_y.argmax(-1)))
     assert agree > 0.999, f"argmax agreement {agree}"
+
+
+def test_parity_gradients_mobilenetv2():
+    """Beyond eval logits: cross-entropy GRADIENTS must match the reference's
+    autograd on the same weights/input (training-mode numerics — catches bad
+    custom VJPs, stop-gradients, and dtype threading)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.utils.torch_checkpoint_converter import convert_torch_checkpoint
+
+    opts = get_training_arguments(args=[
+        "--model.classification.name", "mobilenetv2",
+        "--model.classification.n-classes", "13",
+        "--dataset.category", "classification",
+    ])
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    y = np.asarray([3, 7])
+
+    ref = build_reference_model(opts)
+    ref.eval()  # freeze BN stat updates; gradients still flow
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    logits = ref(xt)
+    loss_t = torch.nn.functional.cross_entropy(logits, torch.from_numpy(y))
+    loss_t.backward()
+    ref_w = dict(ref.named_parameters())
+    # representative weights: first conv, a depthwise conv, the classifier
+    ref_grads = {
+        "first_conv": ref_w["conv_1.block.conv.weight"].grad.numpy(),
+        "classifier_w": ref_w["classifier.classifier_fc.weight"].grad.numpy(),
+        "classifier_b": ref_w["classifier.classifier_fc.bias"].grad.numpy(),
+    }
+    state = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    model = get_model(opts)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), training=False)
+    params, batch_stats, unmatched = convert_torch_checkpoint(
+        state, variables["params"], variables.get("batch_stats"))
+    new_vars = dict(variables, params=params)
+    if batch_stats is not None and "batch_stats" in variables:
+        new_vars["batch_stats"] = batch_stats
+
+    def loss_fn(p):
+        v = dict(new_vars, params=p)
+        logits = model.apply(v, jnp.asarray(x), training=False)
+        if isinstance(logits, dict):
+            logits = logits["logits"]
+        import optax
+
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.asarray(y)).mean()
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(new_vars["params"])
+    assert abs(float(loss_j) - float(loss_t)) < 1e-4
+
+    def leaf(tree, path):
+        for k in path:
+            tree = tree[k]
+        return np.asarray(tree)
+
+    # conv grads: flax HWIO vs torch OIHW
+    g_conv = leaf(grads, ("conv_1", "conv", "kernel")).transpose(3, 2, 0, 1)
+    assert np.max(np.abs(g_conv - ref_grads["first_conv"])) < 1e-4
+    g_w = leaf(grads, ("classifier", "fc", "kernel")).T
+    assert np.max(np.abs(g_w - ref_grads["classifier_w"])) < 1e-4
+    g_b = leaf(grads, ("classifier", "fc", "bias"))
+    assert np.max(np.abs(g_b - ref_grads["classifier_b"])) < 1e-4
