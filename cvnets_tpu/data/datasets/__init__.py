@@ -30,7 +30,25 @@ def build_dataset_from_registry(opts, is_training: bool = True,
 
 def get_train_val_datasets(opts):
     train_ds = build_dataset_from_registry(opts, is_training=True)
-    val_ds = build_dataset_from_registry(opts, is_training=False)
+    # reference CLIP recipes validate zero-shot mid-training:
+    # --dataset.multi-modal-img-text.zero-shot-eval swaps the val dataset for
+    # the zero-shot one (reference zero_shot/__init__.py:36 + clip configs)
+    if (getattr(opts, "dataset.category", None) == "multi_modal_image_text"
+            and getattr(opts, "dataset.multi_modal_img_text.zero_shot_eval",
+                        False)):
+        import argparse as _ap
+
+        zs_opts = _ap.Namespace(**vars(opts))
+        setattr(zs_opts, "dataset.name", getattr(
+            opts, "dataset.multi_modal_img_text.zero_shot.name", None)
+            or "imagenet_zero_shot")
+        zs_root = getattr(
+            opts, "dataset.multi_modal_img_text.zero_shot.root_val", None)
+        if zs_root:
+            setattr(zs_opts, "dataset.root_val", zs_root)
+        val_ds = build_dataset_from_registry(zs_opts, is_training=False)
+    else:
+        val_ds = build_dataset_from_registry(opts, is_training=False)
     return train_ds, val_ds
 
 

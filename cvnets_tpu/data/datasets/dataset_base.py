@@ -77,6 +77,13 @@ class BaseDataset:
                            default=None,
                            help="Canonical 1000-wnid order for shift-set logit"
                                 " projection (one wnid per line)")
+        group.add_argument("--dataset.detection.no-background-id",
+                           action="store_true", default=False,
+                           help="Contiguous detection labels start at 0 (no "
+                                "background slot); reference coco_base semantics")
+        group.add_argument("--dataset.padding-index", type=int, default=None,
+                           help="Padding token index for text pipelines "
+                                "(reference dataset.padding_index)")
         return parser
 
     # -- metadata hooks (reference :260-303) ---------------------------------

@@ -63,11 +63,15 @@ class COCODetection(BaseImageDataset):
             if not is_training or len(self.coco.load_anns(img_id)) > 0
         ]
         cat_ids = self.coco.category_ids()
-        # contiguous labels; 0 is background (reference coco_base)
-        self.coco_id_to_contiguous_id = {c: i + 1 for i, c in enumerate(cat_ids)}
+        # contiguous labels; 0 is background unless --dataset.detection
+        # .no-background-id is set (reference coco_base.py background handling)
+        no_bg = getattr(opts, "dataset.detection.no_background_id", False)
+        offset = 0 if no_bg else 1
+        self.coco_id_to_contiguous_id = {c: i + offset
+                                         for i, c in enumerate(cat_ids)}
         self.contiguous_id_to_coco_id = {v: k for k, v in
                                          self.coco_id_to_contiguous_id.items()}
-        self.n_classes = len(cat_ids) + 1
+        self.n_classes = len(cat_ids) + offset
 
     def share_dataset_arguments(self) -> Dict:
         return {"model.detection.n_classes": self.n_classes}

@@ -58,6 +58,33 @@ class BaseMultiModalImgText(BaseImageDataset):
         self.tokenizer = build_tokenizer(opts)
         self.samples: List[Tuple[str, str]] = []  # (image_path, caption)
 
+    @classmethod
+    def add_arguments(cls, parser):
+        # the base class is not a registry entry, so these family-wide flags
+        # are registered exactly once via the first registered subclass that
+        # does not override add_arguments (FlickrDataset)
+        if cls.__name__ != "FlickrDataset":
+            return parser
+        group = parser.add_argument_group(title="BaseMultiModalImgText")
+        # reference flags (base_multi_modal_img_text.py + clip recipes)
+        group.add_argument("--dataset.multi-modal-img-text.context-length",
+                           type=int, default=None,
+                           help="Token context length; falls back to "
+                                "--model.text.context-length when unset")
+        group.add_argument("--dataset.multi-modal-img-text.zero-shot-eval",
+                           action="store_true", default=False,
+                           help="Validate zero-shot classification instead of "
+                                "the training dataset's val split")
+        group.add_argument("--dataset.multi-modal-img-text.zero-shot.name",
+                           type=str, default=None)
+        group.add_argument("--dataset.multi-modal-img-text.zero-shot.root-val",
+                           type=str, default=None)
+        group.add_argument("--dataset.multi-modal-img-text.trunc-seq-len",
+                           action="store_true", default=False,
+                           help="Config-compat; sequences are fixed-length "
+                                "padded on TPU (static shapes)")
+        return parser
+
     def _transforms(self, size: Tuple[int, int]):
         if self.is_training:
             return Compose(self.opts, [RandomResizedCrop(self.opts, size=size),
@@ -156,6 +183,17 @@ class ImgTextTarDataset(FlickrDataset):
             "--dataset.img-text-tar.metadata-file", type=str, default=None,
             help='Optional shard index: {"samples": [[shard, img_member,'
                  ' txt_member], ...]} — skips the startup tar scan')
+        # reference-spelled aliases (img_text_tar_dataset.py); s3 streaming is
+        # accepted for config compat but requires local shards in this build
+        group.add_argument(
+            "--dataset.multi-modal-img-text.img-text-tar.metadata-file",
+            type=str, default=None)
+        group.add_argument(
+            "--dataset.multi-modal-img-text.img-text-tar.parallel-download",
+            action="store_true", default=False)
+        group.add_argument(
+            "--dataset.multi-modal-img-text.img-text-tar.s3-bucket-path",
+            type=str, default=None)
         return parser
 
     def _index_shards(self) -> None:
@@ -163,7 +201,17 @@ class ImgTextTarDataset(FlickrDataset):
         import tarfile
 
         root = self.root or ""
-        meta_path = getattr(self.opts, "dataset.img_text_tar.metadata_file", None)
+        if getattr(self.opts,
+                   "dataset.multi_modal_img_text.img_text_tar.s3_bucket_path",
+                   None):
+            logger.error(
+                "img_text_tar s3 streaming is not available in this build; "
+                "download the shards locally and point --dataset.root-train "
+                "at them.")
+        meta_path = (getattr(
+            self.opts,
+            "dataset.multi_modal_img_text.img_text_tar.metadata_file", None)
+            or getattr(self.opts, "dataset.img_text_tar.metadata_file", None))
         if meta_path and os.path.isfile(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)

@@ -52,6 +52,11 @@ class BaseImageSegmentationDataset(BaseImageDataset):
                            type=float, default=0.5)
         group.add_argument("--evaluation.segmentation.resize-input-images",
                            action="store_true")
+        group.add_argument(
+            "--evaluation.segmentation.resize-input-images-fixed-size",
+            type=int, nargs="+", default=None,
+            help="Resize eval inputs to this fixed (H, W) instead of the "
+                 "sampler crop size (reference eval_segmentation.py)")
         return parser
 
     def _training_transforms(self, size: Tuple[int, int]):

@@ -63,7 +63,9 @@ class BaseTokenizer:
 class ClipTokenizer(BaseTokenizer):
     def __init__(self, opts, *args, **kwargs) -> None:
         super().__init__(opts)
-        self.context_length = getattr(opts, "model.text.context_length", 77)
+        self.context_length = (
+            getattr(opts, "dataset.multi_modal_img_text.context_length", None)
+            or getattr(opts, "model.text.context_length", 77))
         merges_path = getattr(opts, "text_tokenizer.clip.merges_path", None)
         self.vocab_size = getattr(opts, "model.text.vocab_size", 49408)
         # ASCII approximation of CLIP's \p{L}/\p{N} pattern (stdlib `re` has no
@@ -86,6 +88,15 @@ class ClipTokenizer(BaseTokenizer):
             vocab += ["".join(m) for m in merges]
             vocab += ["<|startoftext|>", "<|endoftext|>"]
             self.encoder = {v: i for i, v in enumerate(vocab)}
+            # reference flag: an explicit token->id json wins over the derived
+            # vocab (exact ids for released CLIP checkpoints)
+            enc_json = getattr(opts, "text_tokenizer.clip.encoder_json_path",
+                               None)
+            if enc_json and os.path.isfile(enc_json):
+                import json as _json
+
+                with open(enc_json, encoding="utf-8") as f:
+                    self.encoder = _json.load(f)
             self.bpe_ranks = dict(zip(merges, range(len(merges))))
             self.cache: Dict[str, str] = {}
             self.sot = self.encoder["<|startoftext|>"]
@@ -101,6 +112,11 @@ class ClipTokenizer(BaseTokenizer):
         group = parser.add_argument_group(title=cls.__name__)
         group.add_argument("--text-tokenizer.clip.merges-path", type=str,
                            default=None)
+        group.add_argument("--text-tokenizer.clip.encoder-json-path", type=str,
+                           default=None,
+                           help="Optional token->id json (reference "
+                                "clip_tokenizer.py); wins over the vocab "
+                                "derived from the merges file")
         return parser
 
     def get_vocab_size(self) -> int:

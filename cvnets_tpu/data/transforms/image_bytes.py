@@ -25,8 +25,10 @@ class PILSave(BaseTransformation):
 
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
-        self.file_encoding = getattr(
-            opts, "image_augmentation.pil_save.encoding", "jpeg") or "jpeg"
+        self.file_encoding = (
+            getattr(opts, "image_augmentation.pil_save.file_encoding", None)
+            or getattr(opts, "image_augmentation.pil_save.encoding", "jpeg")
+            or "jpeg")
         self.quality = getattr(opts, "image_augmentation.pil_save.quality", 100)
 
     @classmethod
@@ -34,6 +36,10 @@ class PILSave(BaseTransformation):
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--image-augmentation.pil-save.enable",
                            action="store_true", default=False)
+        group.add_argument("--image-augmentation.pil-save.file-encoding", type=str,
+                           default=None,
+                           help="Reference flag name (image_bytes.py); wins "
+                                "over --image-augmentation.pil-save.encoding")
         group.add_argument("--image-augmentation.pil-save.encoding", type=str,
                            default="jpeg", choices=["jpeg", "png", "tiff", "fcam"])
         group.add_argument("--image-augmentation.pil-save.quality", type=int,

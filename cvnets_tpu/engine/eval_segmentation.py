@@ -123,6 +123,12 @@ def main_segmentation_evaluation(args=None):
 
 
 def _eval_size(opts):
+    fixed = getattr(
+        opts, "evaluation.segmentation.resize_input_images_fixed_size", None)
+    if fixed:
+        if len(fixed) == 1:
+            return (int(fixed[0]), int(fixed[0]))
+        return (int(fixed[0]), int(fixed[1]))
     h = getattr(opts, "sampler.bs.crop_size_height", 512) or 512
     w = getattr(opts, "sampler.bs.crop_size_width", 512) or 512
     return (h, w)

@@ -109,6 +109,10 @@ class MaskRCNNDetector(BaseDetection):
                            type=float, default=0.05)
         group.add_argument("--model.detection.mask-rcnn.disable-mask-head",
                            action="store_true", default=False)
+        group.add_argument("--model.detection.mask-rcnn.disable-fpn",
+                           action="store_true", default=False,
+                           help="1x1 projections per tap instead of a feature "
+                                "pyramid (reference mask_rcnn.py)")
         group.add_argument("--model.detection.mask-rcnn.norm-layer", type=str,
                            default=None,
                            help="norm for RPN/box/mask heads; None = no norm "
@@ -123,7 +127,20 @@ class MaskRCNNDetector(BaseDetection):
         opts = self.opts
         self.encoder = self.build_encoder(opts)
         self.fpn_channels = self._cfg("fpn_out_channels", 256)
-        self.fpn = FeaturePyramidNetwork(opts=opts, out_channels=self.fpn_channels)
+        # reference mask_rcnn.py --model.detection.mask-rcnn.disable-fpn: project
+        # each backbone tap to fpn_channels with 1x1 convs instead of a pyramid
+        self.use_fpn = not self._cfg("disable_fpn", False)
+        if self.use_fpn:
+            self.fpn = FeaturePyramidNetwork(opts=opts,
+                                             out_channels=self.fpn_channels)
+        else:
+            from cvnets_tpu.layers.conv_layer import ConvLayer2d
+
+            self.proj_layers = [
+                ConvLayer2d(opts=opts, out_channels=self.fpn_channels,
+                            kernel_size=1, use_norm=True, use_act=False)
+                for _ in self._cfg("output_strides", [4, 8, 16, 32])
+            ]
         self.rpn_head = RPNHead(opts=opts, in_channels=self.fpn_channels,
                                 num_anchors=3)
         self.box_head = FastRCNNConvFCHead(opts=opts,
@@ -142,7 +159,11 @@ class MaskRCNNDetector(BaseDetection):
                                                          training=training)
         taps = {4: "out_l2", 8: "out_l3", 16: "out_l4", 32: "out_l5"}
         fms = [end_points[taps[s]] for s in strides if taps.get(s) in end_points]
-        fms = self.fpn(fms, training=training)
+        if self.use_fpn:
+            fms = self.fpn(fms, training=training)
+        else:
+            fms = [proj(fm, training=training)
+                   for proj, fm in zip(self.proj_layers, fms)]
         return fms, strides[: len(fms)]
 
     # -------------------------------------------------------------------- RPN

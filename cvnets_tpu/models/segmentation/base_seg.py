@@ -28,6 +28,10 @@ class BaseSegmentation(BaseAnyNNModel):
                            default=0.1)
         group.add_argument("--model.segmentation.use-aux-head", action="store_true")
         group.add_argument("--model.segmentation.aux-dropout", type=float, default=0.1)
+        group.add_argument("--model.segmentation.norm-layer", type=str,
+                           default=None,
+                           help="Norm layer for the segmentation head only "
+                                "(reference base_seg.py:151)")
         group.add_argument("--model.segmentation.output-stride", type=int,
                            default=None)
         group.add_argument("--model.segmentation.replace-stride-with-dilation",

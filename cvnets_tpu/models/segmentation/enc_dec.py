@@ -31,7 +31,15 @@ class SegEncoderDecoder(BaseSegmentation):
         self.encoder = get_model(opts, category="classification", **kwargs)
 
         head_name = getattr(opts, "model.segmentation.seg_head", "deeplabv3")
-        self.seg_head = MODEL_REGISTRY[head_name, "segmentation_head"].build_model(opts)
+        # --model.segmentation.norm-layer overrides the norm INSIDE the head
+        # only (reference base_seg.py:151); the encoder keeps the global norm
+        head_opts = opts
+        seg_norm = getattr(opts, "model.segmentation.norm_layer", None)
+        if seg_norm:
+            head_opts = argparse.Namespace(**vars(opts))
+            setattr(head_opts, "model.normalization.name", seg_norm)
+        self.seg_head = MODEL_REGISTRY[head_name,
+                                       "segmentation_head"].build_model(head_opts)
         self.use_l5_exp = getattr(opts, "model.segmentation.use_level5_exp", False)
 
     def __call__(self, x: jnp.ndarray, training: bool = False

@@ -86,13 +86,16 @@ class AdamOptimizer(BaseOptim):
         group.add_argument("--optim.adam.beta1", type=float, default=0.9)
         group.add_argument("--optim.adam.beta2", type=float, default=0.999)
         group.add_argument("--optim.adam.amsgrad", action="store_true", default=False)
+        group.add_argument("--optim.adam.eps", type=float, default=None,
+                           help="Overrides --optim.eps for Adam when set")
         return parser
 
     @staticmethod
     def make(opts, wd, mask_fn):
         b1 = getattr(opts, "optim.adam.beta1", 0.9)
         b2 = getattr(opts, "optim.adam.beta2", 0.999)
-        eps = getattr(opts, "optim.eps", 1e-8)
+        eps = getattr(opts, "optim.adam.eps", None) or getattr(
+            opts, "optim.eps", 1e-8)
 
         def factory(learning_rate):
             # torch Adam applies coupled L2 (not decoupled)
@@ -113,13 +116,16 @@ class AdamWOptimizer(BaseOptim):
         group.add_argument("--optim.adamw.beta1", type=float, default=0.9)
         group.add_argument("--optim.adamw.beta2", type=float, default=0.999)
         group.add_argument("--optim.adamw.amsgrad", action="store_true", default=False)
+        group.add_argument("--optim.adamw.eps", type=float, default=None,
+                           help="Overrides --optim.eps for AdamW when set")
         return parser
 
     @staticmethod
     def make(opts, wd, mask_fn):
         b1 = getattr(opts, "optim.adamw.beta1", 0.9)
         b2 = getattr(opts, "optim.adamw.beta2", 0.999)
-        eps = getattr(opts, "optim.eps", 1e-8)
+        eps = getattr(opts, "optim.adamw.eps", None) or getattr(
+            opts, "optim.eps", 1e-8)
 
         def factory(learning_rate):
             return optax.adamw(

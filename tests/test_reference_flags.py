@@ -1,0 +1,132 @@
+"""Semantics tests for reference-recipe flags added for drop-in config
+compatibility (round-1 CLI surface diff vs the reference yamls)."""
+
+import numpy as np
+
+from cvnets_tpu.options.opts import get_training_arguments
+
+
+def test_coco_no_background_id_offsets_labels(tmp_path):
+    import json
+
+    from cvnets_tpu.data.datasets.detection.coco_base import COCODetection
+
+    root = tmp_path / "coco"
+    (root / "annotations").mkdir(parents=True)
+    (root / "val2017").mkdir()
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 8, "height": 8}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 7,
+                         "bbox": [1, 1, 4, 4], "area": 16, "iscrowd": 0}],
+        "categories": [{"id": 7, "name": "x"}, {"id": 9, "name": "y"}],
+    }
+    (root / "annotations" / "instances_val2017.json").write_text(json.dumps(ann))
+
+    base = ["--dataset.root-val", str(root), "--dataset.category", "detection"]
+    opts = get_training_arguments(args=base)
+    ds = COCODetection(opts, is_training=False)
+    assert ds.coco_id_to_contiguous_id == {7: 1, 9: 2}  # 0 = background
+    assert ds.n_classes == 3
+
+    opts = get_training_arguments(args=base + [
+        "--dataset.detection.no-background-id"])
+    ds = COCODetection(opts, is_training=False)
+    assert ds.coco_id_to_contiguous_id == {7: 0, 9: 1}
+    assert ds.n_classes == 2
+
+
+def test_zero_shot_eval_swaps_val_dataset(tmp_path):
+    from cvnets_tpu.data.datasets import get_train_val_datasets
+    import tests.dummy_datasets.multi_modal  # noqa: F401
+
+    opts = get_training_arguments(args=[
+        "--dataset.name", "dummy_img_text",
+        "--dataset.category", "multi_modal_image_text",
+        "--dataset.multi-modal-img-text.zero-shot-eval",
+        "--dataset.multi-modal-img-text.zero-shot.name", "imagenet_zero_shot",
+        "--dataset.multi-modal-img-text.zero-shot.root-val", str(tmp_path),
+    ])
+    train_ds, val_ds = get_train_val_datasets(opts)
+    assert type(train_ds).__name__ != type(val_ds).__name__
+    assert "ZeroShot" in type(val_ds).__name__ or "zero" in type(
+        val_ds).__name__.lower()
+
+
+def test_eval_size_fixed_override():
+    from cvnets_tpu.engine.eval_segmentation import _eval_size
+
+    opts = get_training_arguments(args=[
+        "--evaluation.segmentation.resize-input-images-fixed-size", "384",
+    ])
+    assert _eval_size(opts) == (384, 384)
+    opts = get_training_arguments(args=[
+        "--evaluation.segmentation.resize-input-images-fixed-size", "256", "512",
+    ])
+    assert _eval_size(opts) == (256, 512)
+
+
+def test_seg_head_norm_override_builds():
+    import jax
+    import jax.numpy as jnp
+
+    from cvnets_tpu.models import get_model
+
+    opts = get_training_arguments(args=[
+        "--dataset.category", "segmentation",
+        "--model.segmentation.name", "encoder_decoder",
+        "--model.segmentation.seg-head", "deeplabv3",
+        "--model.segmentation.n-classes", "5",
+        "--model.segmentation.norm-layer", "group_norm",
+        "--model.classification.name", "mobilenetv2",
+    ])
+    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.25)
+    model = get_model(opts)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(0)}, x, training=False)
+    out = model.apply(v, x, training=False)
+    if isinstance(out, dict):
+        out = out["segmentation_output"]
+    assert out.shape == (1, 32, 32, 5)
+    # the head must carry GroupNorm params while the encoder keeps BatchNorm
+    flat = str(jax.tree_util.tree_structure(v))
+    assert "batch_stats" in v  # encoder BN running stats still present
+
+
+def test_mask_rcnn_disable_fpn_builds():
+    import jax
+
+    from cvnets_tpu.models import get_model
+
+    opts = get_training_arguments(args=[
+        "--dataset.category", "detection",
+        "--model.detection.name", "mask_rcnn",
+        "--model.detection.n-classes", "5",
+        "--model.detection.mask-rcnn.disable-fpn",
+        "--model.classification.name", "mobilenetv2",
+    ])
+    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.25)
+    setattr(opts, "model.detection.mask_rcnn.pre_nms_top_n", 16)
+    setattr(opts, "model.detection.mask_rcnn.post_nms_top_n", 8)
+    model = get_model(opts)
+    dummy = model.dummy_input_and_label(1)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           dummy["samples"], training=False)
+    names = str(list(variables["params"].keys()))
+    assert "fpn" not in names
+    assert "proj_layers" in names
+
+
+def test_adamw_eps_flag_overrides():
+    import optax
+
+    from cvnets_tpu.optim import build_optimizer
+
+    opts = get_training_arguments(args=[
+        "--optim.name", "adamw", "--optim.adamw.eps", "0.5",
+    ])
+    tx = build_optimizer(opts)
+    params = {"w": np.zeros((2,), np.float32)}
+    state = tx.init(params)
+    assert state is not None
