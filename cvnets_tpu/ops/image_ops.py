@@ -292,11 +292,19 @@ def build_device_augmenter(opts) -> Optional[Callable]:
     """
     steps = []
     if getattr(opts, "image_augmentation.rand_augment.enable", False):
-        m = getattr(opts, "image_augmentation.rand_augment.m", None)
+        # reference flag names win (image_pil.py rand_augment); n/m accepted
+        m = getattr(opts, "image_augmentation.rand_augment.magnitude", None)
+        if m is None:
+            m = getattr(opts, "image_augmentation.rand_augment.m", None)
         m = 9 if m is None else int(m)
-        n = getattr(opts, "image_augmentation.rand_augment.n", None)
+        n = getattr(opts, "image_augmentation.rand_augment.num_ops", None)
+        if n is None:
+            n = getattr(opts, "image_augmentation.rand_augment.n", None)
         n = 2 if n is None else int(n)
-        steps.append(lambda rng, x: rand_augment(rng, x, num_ops=n, magnitude=m))
+        bins = getattr(
+            opts, "image_augmentation.rand_augment.num_magnitude_bins", None) or 31
+        steps.append(lambda rng, x: rand_augment(
+            rng, x, num_ops=n, magnitude=m, num_magnitude_bins=int(bins)))
     if getattr(opts, "image_augmentation.trivial_augment_wide.enable", False):
         steps.append(lambda rng, x: trivial_augment_wide(rng, x))
     if getattr(opts, "image_augmentation.random_erase.enable", False):
@@ -317,9 +325,25 @@ def arguments_device_augmentation(parser):
     group = parser.add_argument_group(title="Device-tier augmentation")
     group.add_argument("--image-augmentation.rand-augment.enable",
                        action="store_true", default=False)
-    group.add_argument("--image-augmentation.rand-augment.n", type=int, default=2)
-    group.add_argument("--image-augmentation.rand-augment.m", type=int, default=9)
+    group.add_argument("--image-augmentation.rand-augment.n", type=int, default=None)
+    group.add_argument("--image-augmentation.rand-augment.m", type=int, default=None)
     group.add_argument("--image-augmentation.rand-augment.p", type=float, default=1.0)
+    # reference flag names (image_pil.py:575 RandAugment)
+    group.add_argument("--image-augmentation.rand-augment.num-ops", type=int,
+                       default=None)
+    group.add_argument("--image-augmentation.rand-augment.magnitude", type=int,
+                       default=None)
+    group.add_argument("--image-augmentation.rand-augment.num-magnitude-bins",
+                       type=int, default=None)
+    group.add_argument("--image-augmentation.rand-augment.interpolation",
+                       type=str, default="bilinear",
+                       help="Geometric-op resampling; the device tier "
+                            "implements bilinear (the reference default)")
+    group.add_argument("--image-augmentation.trivial-augment-wide.num-magnitude-bins",
+                       type=int, default=None,
+                       help="Config-compat (reference trivial_augment_wide)")
+    group.add_argument("--image-augmentation.trivial-augment-wide.interpolation",
+                       type=str, default="bilinear")
     group.add_argument("--image-augmentation.trivial-augment-wide.enable",
                        action="store_true", default=False)
     # auto-augment.enable and random-erase.* are registered by the host-tier
