@@ -68,6 +68,38 @@ class ImageNetV2Dataset(BaseImageClassificationDataset):
     (matched-frequency / threshold-0.7 / top-images) is chosen by pointing the
     val/test root at the corresponding directory."""
 
+    # split name -> extracted folder name (reference IMAGENETv2_SPLIT_LINK_MAP)
+    SPLIT_FOLDERS = {
+        "matched-frequency": "imagenetv2-matched-frequency-format-val",
+        "threshold-0.7": "imagenetv2-threshold0.7-format-val",
+        "top-images": "imagenetv2-top-images-format-val",
+    }
+
+    def _dataset_root(self):
+        root = super()._dataset_root()
+        # reference flag: --dataset.imagenet-v2.split picks the extracted
+        # subfolder under the root; pointing the root directly at a split
+        # directory still works (no flag / folder absent)
+        split = getattr(self.opts, "dataset.imagenet_v2.split", None)
+        if root and split in self.SPLIT_FOLDERS:
+            import os
+
+            cand = os.path.join(root, self.SPLIT_FOLDERS[split])
+            if os.path.isdir(cand):
+                return cand
+        return root
+
+    @classmethod
+    def add_arguments(cls, parser):
+        if cls.__name__ != "ImageNetV2Dataset":
+            return parser
+        group = parser.add_argument_group(title=cls.__name__)
+        group.add_argument("--dataset.imagenet-v2.split", type=str,
+                           default=None,
+                           choices=list(cls.SPLIT_FOLDERS),
+                           help="ImageNetV2 variant subfolder under the root")
+        return parser
+
     def __init__(self, opts, *args, **kwargs) -> None:
         super().__init__(opts, *args, **kwargs)
         if self.classes and all(c.isdigit() for c in self.classes):

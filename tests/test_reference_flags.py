@@ -130,3 +130,21 @@ def test_adamw_eps_flag_overrides():
     params = {"w": np.zeros((2,), np.float32)}
     state = tx.init(params)
     assert state is not None
+
+
+def test_imagenet_v2_split_flag_selects_subfolder(tmp_path):
+    from PIL import Image
+
+    from cvnets_tpu.data.datasets.classification.imagenet import ImageNetV2Dataset
+
+    sub = tmp_path / "imagenetv2-matched-frequency-format-val"
+    for cls in ("0", "1"):
+        (sub / cls).mkdir(parents=True)
+        Image.new("RGB", (8, 8)).save(sub / cls / "x.jpeg")
+    opts = get_training_arguments(args=[
+        "--dataset.root-val", str(tmp_path),
+        "--dataset.imagenet-v2.split", "matched-frequency",
+    ])
+    ds = ImageNetV2Dataset(opts, is_training=False)
+    assert len(ds) == 2
+    assert ds.root.endswith("imagenetv2-matched-frequency-format-val")
