@@ -391,16 +391,21 @@ class SSDCroping(BaseTransformation):
 
 @TRANSFORMATIONS_REGISTRY.register(name="photo_metric_distort", type="image_pil")
 class PhotometricDistort(BaseTransformation):
-    """Random brightness/contrast/saturation/hue jitter for detection
-    (reference image_pil.py:1194; contrast applied first or last at random)."""
+    """Photometric distortion for detection (reference image_pil.py:1194-1352):
+    ColorJitter-style MULTIPLICATIVE brightness (beta), contrast (alpha),
+    saturation (gamma), hue shift (delta, fraction of the color wheel), each
+    applied with prob p; contrast randomly before or after color ops; random
+    channel permutation with prob p."""
 
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
+        g = lambda k, d: getattr(  # noqa: E731
+            opts, f"image_augmentation.photo_metric_distort.{k}", d) or d
         self.p = getattr(opts, "image_augmentation.photo_metric_distort.p", 0.5)
-        self.brightness_delta = 32.0 / 255.0
-        self.contrast = (0.5, 1.5)
-        self.saturation = (0.5, 1.5)
-        self.hue_delta = 18  # degrees out of 360, scaled to the 0..255 H channel
+        self.contrast = (g("alpha_min", 0.5), g("alpha_max", 1.5))
+        self.brightness = (g("beta_min", 0.875), g("beta_max", 1.125))
+        self.saturation = (g("gamma_min", 0.5), g("gamma_max", 1.5))
+        self.hue = (g("delta_min", -0.05), g("delta_max", 0.05))
 
     @classmethod
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
@@ -409,39 +414,45 @@ class PhotometricDistort(BaseTransformation):
                            action="store_true", default=False)
         group.add_argument("--image-augmentation.photo-metric-distort.p",
                            type=float, default=0.5)
+        # reference ranges (image_pil.py:1204-1238)
+        for name, default in (("alpha-min", 0.5), ("alpha-max", 1.5),
+                              ("beta-min", 0.875), ("beta-max", 1.125),
+                              ("gamma-min", 0.5), ("gamma-max", 1.5),
+                              ("delta-min", -0.05), ("delta-max", 0.05)):
+            group.add_argument(
+                f"--image-augmentation.photo-metric-distort.{name}",
+                type=float, default=default)
         return parser
 
-    def _contrast(self, arr: np.ndarray) -> np.ndarray:
-        if random.random() < self.p:
-            arr = arr * random.uniform(*self.contrast)
-        return arr
-
     def __call__(self, data: Dict) -> Dict:
-        arr = np.asarray(_to_pil(data["image"]), np.float32) / 255.0
-        if random.random() < self.p:
-            arr = arr + random.uniform(-self.brightness_delta,
-                                       self.brightness_delta)
-        contrast_first = random.random() < 0.5
-        if contrast_first:
-            arr = self._contrast(arr)
-        if random.random() < self.p or random.random() < self.p:
-            hsv = np.asarray(
-                Image.fromarray(
-                    (np.clip(arr, 0, 1) * 255).astype(np.uint8)
-                ).convert("HSV"), np.float32)
-            if random.random() < self.p:
-                hsv[..., 1] *= random.uniform(*self.saturation)
-            if random.random() < self.p:
-                shift = random.uniform(-self.hue_delta, self.hue_delta)
-                hsv[..., 0] = np.mod(hsv[..., 0] + shift * 255.0 / 360.0, 256.0)
-            arr = np.asarray(
-                Image.fromarray(
-                    np.clip(hsv, 0, 255).astype(np.uint8), "HSV").convert("RGB"),
-                np.float32) / 255.0
-        if not contrast_first:
-            arr = self._contrast(arr)
-        data["image"] = Image.fromarray(
-            (np.clip(arr, 0, 1) * 255).astype(np.uint8))
+        from PIL import ImageEnhance
+
+        img = _to_pil(data["image"])
+        r = np.random.rand(7)
+        if r[0] < self.p:  # brightness (multiplicative)
+            img = ImageEnhance.Brightness(img).enhance(
+                random.uniform(*self.brightness))
+        contrast_before = r[1] < self.p
+        if contrast_before and r[2] < self.p:
+            img = ImageEnhance.Contrast(img).enhance(
+                random.uniform(*self.contrast))
+        if r[3] < self.p:  # saturation
+            img = ImageEnhance.Color(img).enhance(
+                random.uniform(*self.saturation))
+        if r[4] < self.p:  # hue: shift H by a fraction of the color wheel
+            shift = random.uniform(*self.hue)
+            hsv = np.asarray(img.convert("HSV"), np.uint8).copy()
+            hsv[..., 0] = (hsv[..., 0].astype(np.int32)
+                           + int(round(shift * 255.0))) % 256
+            img = Image.fromarray(hsv, "HSV").convert("RGB")
+        if not contrast_before and r[5] < self.p:
+            img = ImageEnhance.Contrast(img).enhance(
+                random.uniform(*self.contrast))
+        if r[6] < self.p and img.mode != "L":
+            arr = np.asarray(img)
+            img = Image.fromarray(
+                arr[..., np.random.permutation(arr.shape[-1])])
+        data["image"] = img
         return data
 
 

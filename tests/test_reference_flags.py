@@ -148,3 +148,30 @@ def test_imagenet_v2_split_flag_selects_subfolder(tmp_path):
     ds = ImageNetV2Dataset(opts, is_training=False)
     assert len(ds) == 2
     assert ds.root.endswith("imagenetv2-matched-frequency-format-val")
+
+
+def test_photometric_distort_reference_semantics():
+    import random as _random
+
+    from PIL import Image
+
+    from cvnets_tpu.data.transforms.image import PhotometricDistort
+
+    opts = get_training_arguments(args=[
+        "--image-augmentation.photo-metric-distort.beta-min", "0.9",
+        "--image-augmentation.photo-metric-distort.beta-max", "1.1",
+    ])
+    t = PhotometricDistort(opts)
+    assert t.brightness == (0.9, 1.1)
+    assert t.contrast == (0.5, 1.5)
+    _random.seed(0)
+    np.random.seed(0)
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8))
+    out = t({"image": img})["image"]
+    assert out.size == img.size and out.mode == "RGB"
+    # p=1 distorts every image; p=0 never does
+    setattr(opts, "image_augmentation.photo_metric_distort.p", 0.0)
+    t0 = PhotometricDistort(opts)
+    out0 = t0({"image": img})["image"]
+    assert np.array_equal(np.asarray(out0), np.asarray(img))
