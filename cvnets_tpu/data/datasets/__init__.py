@@ -30,6 +30,10 @@ def build_dataset_from_registry(opts, is_training: bool = True,
 
 def get_train_val_datasets(opts):
     train_ds = build_dataset_from_registry(opts, is_training=True)
+    # reference data/datasets/__init__.py:109: --dataset.disable-val skips
+    # building the validation dataset entirely (pretrain-style runs)
+    if getattr(opts, "dataset.disable_val", False):
+        return train_ds, None
     # reference CLIP recipes validate zero-shot mid-training:
     # --dataset.multi-modal-img-text.zero-shot-eval swaps the val dataset for
     # the zero-shot one (reference zero_shot/__init__.py:36 + clip configs)

@@ -53,15 +53,27 @@ class BaseImageClassificationDataset(BaseImageDataset):
                             (os.path.join(dirpath, f), self.class_to_idx[cls_name])
                         )
         pct = getattr(opts, "dataset.percentage_of_samples", 100.0) or 100.0
-        if is_training and pct < 100.0:
-            rng = np.random.default_rng(getattr(opts, "common.seed", 0) or 0)
+        n_per_cat = getattr(opts, "dataset.num_samples_per_category", -1) or -1
+        if is_training and n_per_cat > 0 and 0 < pct < 100:
+            logger.error(
+                "Specify only one of dataset.num_samples_per_category and "
+                "dataset.percentage_of_samples (reference "
+                "base_image_classification_dataset.py:81)")
+        if is_training and (pct < 100.0 or n_per_cat > 0):
+            seed = getattr(opts, "dataset.sample_selection_random_seed", None)
+            if seed is None:
+                seed = getattr(opts, "common.seed", 0) or 0
+            rng = np.random.default_rng(seed)
             # per-class subset to keep class balance (reference subset sampling)
             keep = []
             by_class: Dict[int, List] = {}
             for s in samples:
                 by_class.setdefault(s[1], []).append(s)
             for cls_samples in by_class.values():
-                n_keep = max(1, int(len(cls_samples) * pct / 100.0))
+                if n_per_cat > 0:
+                    n_keep = min(n_per_cat, len(cls_samples))
+                else:
+                    n_keep = max(1, int(len(cls_samples) * pct / 100.0))
                 idx = rng.permutation(len(cls_samples))[:n_keep]
                 keep.extend(cls_samples[i] for i in idx)
             samples = keep

@@ -84,6 +84,18 @@ class BaseDataset:
         group.add_argument("--dataset.padding-index", type=int, default=None,
                            help="Padding token index for text pipelines "
                                 "(reference dataset.padding_index)")
+        group.add_argument("--dataset.disable-val", action="store_true",
+                           default=False,
+                           help="Skip building the validation dataset/loader")
+        group.add_argument("--dataset.num-samples-per-category", type=int,
+                           default=-1,
+                           help="Balanced training subset: keep this many "
+                                "samples per class (exclusive with "
+                                "percentage-of-samples)")
+        group.add_argument("--dataset.sample-selection-random-seed", type=int,
+                           default=None,
+                           help="Seed for subset sampling; defaults to "
+                                "--common.seed")
         return parser
 
     # -- metadata hooks (reference :260-303) ---------------------------------

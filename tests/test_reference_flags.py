@@ -175,3 +175,44 @@ def test_photometric_distort_reference_semantics():
     t0 = PhotometricDistort(opts)
     out0 = t0({"image": img})["image"]
     assert np.array_equal(np.asarray(out0), np.asarray(img))
+
+
+def test_num_samples_per_category_subsets(tmp_path):
+    from PIL import Image
+
+    from cvnets_tpu.data.datasets.classification.base_image_classification_dataset import (  # noqa: E501
+        BaseImageClassificationDataset)
+
+    for cls in ("a", "b"):
+        (tmp_path / cls).mkdir()
+        for i in range(5):
+            Image.new("RGB", (8, 8)).save(tmp_path / cls / f"{i}.jpg")
+    opts = get_training_arguments(args=[
+        "--dataset.root-train", str(tmp_path),
+        "--dataset.num-samples-per-category", "2",
+        "--dataset.sample-selection-random-seed", "3",
+    ])
+    ds = BaseImageClassificationDataset(opts, is_training=True)
+    assert len(ds.samples) == 4  # 2 per class
+    labels = sorted(t for _, t in ds.samples)
+    assert labels == [0, 0, 1, 1]
+
+
+def test_disable_val_skips_val_loader(tmp_path):
+    import tests.dummy_datasets.classification  # noqa: F401
+
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+
+    opts = get_training_arguments(args=[
+        "--dataset.name", "dummy_classification",
+        "--dataset.category", "classification",
+        "--dataset.disable-val",
+        "--dataset.train-batch-size0", "2",
+        "--dataset.workers", "0",
+        "--sampler.name", "batch_sampler",
+        "--sampler.bs.crop-size-width", "32",
+        "--sampler.bs.crop-size-height", "32",
+    ])
+    train_loader, val_loader, _ = create_train_val_loader(opts)
+    assert train_loader is not None
+    assert val_loader is None
