@@ -250,6 +250,12 @@ class MFCCs(BaseTransformation):
         super().__init__(opts)
         self.n_mfcc = getattr(opts, "audio_augmentation.mfccs.num_mfccs", 40)
         self.n_fft = getattr(opts, "audio_augmentation.mfccs.n_fft", 400)
+        # reference parametrization (audio.py:344): window length in seconds →
+        # n_fft = window_length * sample_rate (resolved per-sample in __call__)
+        self.window_length = getattr(
+            opts, "audio_augmentation.mfccs.window_length", None)
+        self.num_frames = getattr(
+            opts, "audio_augmentation.mfccs.num_frames", None)
         self.hop = getattr(opts, "audio_augmentation.mfccs.hop_length", 160)
         self.n_mels = max(self.n_mfcc, 64)
 
@@ -263,19 +269,30 @@ class MFCCs(BaseTransformation):
         group.add_argument("--audio-augmentation.mfccs.n-fft", type=int, default=400)
         group.add_argument("--audio-augmentation.mfccs.hop-length", type=int,
                            default=160)
+        # reference flags (audio.py:344-352)
+        group.add_argument("--audio-augmentation.mfccs.window-length",
+                           type=float, default=None,
+                           help="Window length in seconds; overrides n-fft")
+        group.add_argument("--audio-augmentation.mfccs.num-frames", type=int,
+                           default=None,
+                           help="Config-compat (reference splits the "
+                                "spectrogram into this many frame groups)")
         return parser
 
     def __call__(self, data: Dict) -> Dict:
         audio = np.asarray(data["audio"], np.float32)
         rate = data.get("metadata", {}).get("audio_fps", 16000)
-        n_frames = max(1, 1 + (len(audio) - self.n_fft) // self.hop)
-        window = np.hanning(self.n_fft)
+        n_fft = self.n_fft
+        if self.window_length:  # reference seconds-based parametrization
+            n_fft = max(2, int(round(self.window_length * rate)))
+        n_frames = max(1, 1 + (len(audio) - n_fft) // self.hop)
+        window = np.hanning(n_fft)
         frames = np.stack([
-            audio[i * self.hop: i * self.hop + self.n_fft] * window
+            audio[i * self.hop: i * self.hop + n_fft] * window
             for i in range(n_frames)
         ])
         spec = np.abs(np.fft.rfft(frames, axis=-1)) ** 2
-        fb = _mel_filterbank(self.n_mels, self.n_fft, rate)
+        fb = _mel_filterbank(self.n_mels, n_fft, rate)
         mel = np.log(spec @ fb.T + 1e-10)
         # DCT-II over mel axis
         n = mel.shape[-1]

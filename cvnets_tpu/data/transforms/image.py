@@ -324,17 +324,34 @@ class SSDCroping(BaseTransformation):
     pick a min-IoU option, sample a crop whose IoU with every kept box meets
     it, keep boxes whose centers fall inside, translate/clip box coords."""
 
-    IOU_OPTIONS = (0.0, 0.1, 0.3, 0.5, 0.7, 0.9, None)  # None = keep original
-
-    def __init__(self, opts, trials: int = 40, **kwargs) -> None:
+    def __init__(self, opts, trials: int = None, **kwargs) -> None:
         super().__init__(opts)
-        self.trials = trials
+        self.trials = trials or getattr(
+            opts, "image_augmentation.ssd_crop.n_trials", 40) or 40
+        # reference iou-thresholds (image_pil.py:1051): 1.0 = keep original
+        ious = getattr(opts, "image_augmentation.ssd_crop.iou_thresholds",
+                       None) or [0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 1.0]
+        self.iou_options = tuple(None if v >= 1.0 else float(v) for v in ious)
+        self.min_aspect = getattr(
+            opts, "image_augmentation.ssd_crop.min_aspect_ratio", 0.5) or 0.5
+        self.max_aspect = getattr(
+            opts, "image_augmentation.ssd_crop.max_aspect_ratio", 2.0) or 2.0
 
     @classmethod
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--image-augmentation.ssd-crop.enable",
                            action="store_true", default=False)
+        # reference flags (image_pil.py:1045-1070)
+        group.add_argument("--image-augmentation.ssd-crop.iou-thresholds",
+                           type=float, nargs="+",
+                           default=[0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 1.0])
+        group.add_argument("--image-augmentation.ssd-crop.n-trials", type=int,
+                           default=40)
+        group.add_argument("--image-augmentation.ssd-crop.min-aspect-ratio",
+                           type=float, default=0.5)
+        group.add_argument("--image-augmentation.ssd-crop.max-aspect-ratio",
+                           type=float, default=2.0)
         return parser
 
     @staticmethod
@@ -356,13 +373,13 @@ class SSDCroping(BaseTransformation):
                             np.int64)
         w, h = img.width, img.height
         while True:
-            min_iou = random.choice(self.IOU_OPTIONS)
+            min_iou = random.choice(self.iou_options)
             if min_iou is None:
                 return data
             for _ in range(self.trials):
                 cw = random.uniform(0.3, 1.0) * w
                 ch = random.uniform(0.3, 1.0) * h
-                if not 0.5 < cw / ch < 2.0:
+                if not self.min_aspect < cw / ch < self.max_aspect:
                     continue
                 left = random.uniform(0, w - cw)
                 top = random.uniform(0, h - ch)

@@ -83,10 +83,33 @@ class CrossEntropy(BaseClassificationCriteria):
 @LOSS_REGISTRY.register(name="binary_cross_entropy", type="classification")
 class BinaryCrossEntropy(BaseClassificationCriteria):
     """Sigmoid BCE over one-hot/multi-label targets (parity: reference
-    loss_fn/classification/binary_cross_entropy.py)."""
+    loss_fn/classification/binary_cross_entropy.py incl. the reduction flag)."""
+
+    @classmethod
+    def add_arguments(cls, parser):
+        if cls.__name__ != "BinaryCrossEntropy":
+            return parser
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument(
+            "--loss.classification.binary-cross-entropy.reduction", type=str,
+            default="mean", choices=["sum", "mean", "none", "batch_mean"],
+            help="'batch_mean' divides the elementwise sum by the batch size")
+        return parser
 
     def __call__(self, input_sample: Any, prediction: Any, target: Any, **kwargs):
         logits = prediction["logits"] if isinstance(prediction, dict) else prediction
         if target.ndim != logits.ndim:
             target = jax.nn.one_hot(target, logits.shape[-1], dtype=logits.dtype)
-        return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, target)) * logits.shape[-1]
+        elementwise = optax.sigmoid_binary_cross_entropy(logits, target)
+        reduction = getattr(
+            self.opts, "loss.classification.binary_cross_entropy.reduction",
+            "mean") or "mean"
+        if reduction == "sum":
+            return jnp.sum(elementwise)
+        if reduction == "none":
+            return elementwise
+        if reduction == "batch_mean":
+            return jnp.sum(elementwise) / logits.shape[0]
+        # historical repo behavior: mean over samples, summed over classes —
+        # torch BCE 'mean' averages over ALL elements; match torch exactly
+        return jnp.mean(elementwise)

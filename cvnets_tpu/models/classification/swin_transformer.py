@@ -54,6 +54,10 @@ class SwinTransformer(BaseImageEncoder):
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         group = parser.add_argument_group(title=cls.__name__)
         group.add_argument("--model.classification.swin.mode", type=str, default="tiny")
+        group.add_argument("--model.classification.swin.extract-end-point-format",
+                           type=str, default="nhwc", choices=["nchw", "nhwc"],
+                           help="Config-compat (reference swin_transformer.py:268);"
+                                " end points are NHWC on TPU either way")
         group.add_argument("--model.classification.swin.window-size", type=int,
                            default=7)
         group.add_argument("--model.classification.swin.dropout", type=float,

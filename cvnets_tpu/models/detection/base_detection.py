@@ -37,6 +37,12 @@ class BaseDetection(BaseAnyNNModel):
         group.add_argument("--evaluation.detection.path", type=str, default=None)
         group.add_argument("--evaluation.detection.num-classes-in-dataset",
                            type=int, default=None)
+        group.add_argument("--evaluation.detection.num-classes", type=int,
+                           default=None,
+                           help="Config-compat (reference eval_detection): "
+                                "detection class count for offline eval")
+        group.add_argument("--evaluation.detection.resize-input-images",
+                           action="store_true", default=False)
         group.add_argument("--evaluation.detection.save-overlay-boxes",
                            action="store_true")
         return parser

@@ -87,9 +87,20 @@ def test_binary_cross_entropy_matches_manual():
     onehot = np.eye(4)[labels]
     p = 1 / (1 + np.exp(-logits))
     bce = -(onehot * np.log(p) + (1 - onehot) * np.log1p(-p))
-    # reference scales the elementwise mean by n_classes (sum over classes,
-    # mean over batch)
-    assert abs(got - bce.mean() * 4) < 1e-4
+    # reference 'mean' = torch BCE mean over ALL elements
+    # (binary_cross_entropy.py:80-86)
+    assert abs(got - bce.mean()) < 1e-4
+
+    opts = _opts()
+    setattr(opts, "loss.classification.binary_cross_entropy.reduction",
+            "batch_mean")
+    got_bm = float(BinaryCrossEntropy(opts)(None, jnp.asarray(logits),
+                                            jnp.asarray(labels)))
+    assert abs(got_bm - bce.sum() / 8) < 1e-3
+    setattr(opts, "loss.classification.binary_cross_entropy.reduction", "sum")
+    got_sum = float(BinaryCrossEntropy(opts)(None, jnp.asarray(logits),
+                                             jnp.asarray(labels)))
+    assert abs(got_sum - bce.sum()) < 1e-2
 
 
 # --------------------------------------------------------------- segmentation
