@@ -476,10 +476,42 @@ class PhotometricDistort(BaseTransformation):
 @TRANSFORMATIONS_REGISTRY.register(name="to_tensor", type="image_pil")
 class ToFloatTensor(BaseTransformation):
     """PIL/uint8 -> float32 HWC in [0,1] numpy (device transfer happens later;
-    normalization/mixup are device-tier ops)."""
+    mixup is a device-tier op). Optional channel mean/std normalization
+    (reference image_pil.py to_tensor mean-std-normalization flags; CVNets
+    recipes train on [0,1] so it is off by default)."""
 
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
+        self.normalize = getattr(
+            opts,
+            "image_augmentation.to_tensor.mean_std_normalization.enable", False)
+        if self.normalize:
+            mean = getattr(
+                opts, "image_augmentation.to_tensor.mean_std_normalization.mean",
+                None) or [0.485, 0.456, 0.406]
+            std = getattr(
+                opts, "image_augmentation.to_tensor.mean_std_normalization.std",
+                None) or [0.229, 0.224, 0.225]
+            self.mean = np.asarray(mean, np.float32)
+            self.std = np.asarray(std, np.float32)
+
+    @classmethod
+    def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        group = parser.add_argument_group(cls.__name__)
+        group.add_argument(
+            "--image-augmentation.to-tensor.mean-std-normalization.enable",
+            action="store_true", default=False)
+        group.add_argument(
+            "--image-augmentation.to-tensor.mean-std-normalization.mean",
+            type=float, nargs="+", default=None)
+        group.add_argument(
+            "--image-augmentation.to-tensor.mean-std-normalization.std",
+            type=float, nargs="+", default=None)
+        group.add_argument("--image-augmentation.to-tensor.dtype", type=str,
+                           default="float",
+                           help="Config-compat; dtype threading happens at the "
+                                "device boundary (--dataset.img-dtype)")
+        return parser
 
     def __call__(self, data: Dict) -> Dict:
         arr = np.asarray(data["image"])
@@ -487,7 +519,10 @@ class ToFloatTensor(BaseTransformation):
             arr = arr.astype(np.float32) / 255.0
         if arr.ndim == 2:
             arr = arr[:, :, None].repeat(3, axis=2)
-        data["image"] = arr.astype(np.float32)
+        arr = arr.astype(np.float32)
+        if self.normalize:
+            arr = (arr - self.mean) / self.std
+        data["image"] = arr
         if "mask" in data and data["mask"] is not None:
             data["mask"] = np.asarray(data["mask"]).astype(np.int32)
         return data

@@ -97,6 +97,14 @@ class MaskRCNNDetector(BaseDetection):
                            default=1000)
         group.add_argument("--model.detection.mask-rcnn.post-nms-top-n", type=int,
                            default=256)
+        group.add_argument("--model.detection.mask-rcnn.rpn-fg-iou-thresh",
+                           type=float, default=0.7)
+        group.add_argument("--model.detection.mask-rcnn.rpn-bg-iou-thresh",
+                           type=float, default=0.3)
+        group.add_argument("--model.detection.mask-rcnn.box-fg-iou-thresh",
+                           type=float, default=0.5)
+        group.add_argument("--model.detection.mask-rcnn.box-bg-iou-thresh",
+                           type=float, default=0.5)
         group.add_argument("--model.detection.mask-rcnn.rpn-batch-per-image",
                            type=int, default=256)
         group.add_argument("--model.detection.mask-rcnn.box-batch-per-image",
@@ -210,7 +218,10 @@ class MaskRCNNDetector(BaseDetection):
             gt_valid = gt_labels > 0
 
             def rpn_loss_one(obj_i, deltas_i, gtb, gtv, key):
-                midx, mlabels = match_boxes(anchors, gtb, gtv, 0.7, 0.3)
+                midx, mlabels = match_boxes(
+                    anchors, gtb, gtv,
+                    self._cfg("rpn_fg_iou_thresh", 0.7),
+                    self._cfg("rpn_bg_iou_thresh", 0.3))
                 pos_m, neg_m = balanced_sample_mask(
                     key, mlabels, self._cfg("rpn_batch_per_image", 256), 0.5)
                 sel = pos_m | neg_m
@@ -249,9 +260,15 @@ class MaskRCNNDetector(BaseDetection):
             # append gt to proposals (torchvision behavior)
             proposals = jnp.concatenate([proposals, gt_boxes], axis=1)
             box_batch = self._cfg("box_batch_per_image", 128)
+            # candidates = proposals + appended gt; clamp so small
+            # post_nms_top_n configs don't crash the fixed-slot top_k
+            box_batch = min(box_batch, int(proposals.shape[1]))
 
             def sample_one(props, gtb, gtl, gtv, key):
-                midx, mlab = match_boxes(props, gtb, gtv, 0.5, 0.5)
+                midx, mlab = match_boxes(
+                    props, gtb, gtv,
+                    self._cfg("box_fg_iou_thresh", 0.5),
+                    self._cfg("box_bg_iou_thresh", 0.5))
                 pos_m, neg_m = balanced_sample_mask(key, mlab, box_batch, 0.25)
                 sel = pos_m | neg_m
                 # randomized rank compaction to a fixed box_batch slot set

@@ -216,3 +216,27 @@ def test_disable_val_skips_val_loader(tmp_path):
     train_loader, val_loader, _ = create_train_val_loader(opts)
     assert train_loader is not None
     assert val_loader is None
+
+
+def test_to_tensor_mean_std_normalization():
+    from PIL import Image
+
+    from cvnets_tpu.data.transforms.image import ToFloatTensor
+
+    opts = get_training_arguments(args=[
+        "--image-augmentation.to-tensor.mean-std-normalization.enable",
+        "--image-augmentation.to-tensor.mean-std-normalization.mean",
+        "0.5", "0.5", "0.5",
+        "--image-augmentation.to-tensor.mean-std-normalization.std",
+        "0.25", "0.25", "0.25",
+    ])
+    t = ToFloatTensor(opts)
+    img = Image.new("RGB", (4, 4), (255, 128, 0))
+    out = t({"image": img})["image"]
+    np.testing.assert_allclose(out[0, 0], [(1.0 - 0.5) / 0.25,
+                                           (128 / 255 - 0.5) / 0.25,
+                                           (0.0 - 0.5) / 0.25], atol=1e-5)
+    # default: plain [0,1]
+    t0 = ToFloatTensor(get_training_arguments(args=[]))
+    out0 = t0({"image": img})["image"]
+    np.testing.assert_allclose(out0[0, 0], [1.0, 128 / 255, 0.0], atol=1e-6)
