@@ -29,6 +29,58 @@ class BaseAVReader:
         self.is_training = is_training
         self.frames_per_clip = getattr(opts, "video_reader.frames_per_clip", 8)
         self.clips_per_video = getattr(opts, "video_reader.clips_per_video", 1)
+        self.frame_transforms = self.get_frame_transform(opts, is_training)
+
+    @staticmethod
+    def get_frame_transform(opts, is_training: bool):
+        """Per-frame PIL augmentations configured by ``--frame-augmentation.*``
+        (reference base_av_reader.py:100-143 — image-augmentation flags cloned
+        under the frame prefix and applied to each decoded frame)."""
+        if not is_training:
+            return None
+        auto_aug = getattr(opts, "frame_augmentation.auto_augment.enable", False)
+        rand_aug = getattr(opts, "frame_augmentation.rand_augment.enable", False)
+        random_erase = getattr(opts, "frame_augmentation.random_erase.enable",
+                               False)
+        if not (auto_aug or rand_aug or random_erase):
+            return None
+        from cvnets_tpu.options.utils import extract_opts_with_prefix_replacement
+
+        frame_opts = extract_opts_with_prefix_replacement(
+            opts, "frame_augmentation.", "image_augmentation.")
+        transforms = []
+        if auto_aug and rand_aug:
+            logger.error("frame-augmentation: AutoAugment and RandAugment are "
+                         "mutually exclusive")
+        elif auto_aug:
+            from cvnets_tpu.data.transforms.image_advanced import AutoAugment
+
+            transforms.append(AutoAugment(frame_opts))
+        elif rand_aug:
+            from cvnets_tpu.data.transforms.image_advanced import RandAugmentTimm
+
+            transforms.append(RandAugmentTimm(frame_opts))
+        if random_erase:
+            from cvnets_tpu.data.transforms.image_advanced import RandomErasing
+
+            transforms.append(RandomErasing(frame_opts))
+        return transforms
+
+    def _augment_frame(self, img):
+        """Apply per-frame transforms to a PIL image; returns a PIL image."""
+        if not self.frame_transforms:
+            return img
+        data = {"image": img}
+        for t in self.frame_transforms:
+            data = t(data)
+        out = data["image"]
+        if isinstance(out, np.ndarray):
+            from PIL import Image as _Image
+
+            out = _Image.fromarray(
+                (np.clip(out, 0, 1) * 255).astype(np.uint8)
+                if out.dtype != np.uint8 else out)
+        return out
 
     @classmethod
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
@@ -110,6 +162,7 @@ class FrameFolderReader(BaseAVReader):
             imgs = []
             for i in ids:
                 img = Image.open(os.path.join(path, frames[i])).convert("RGB")
+                img = self._augment_frame(img)
                 imgs.append(np.asarray(img, np.float32) / 255.0)
             clips.append(np.stack(imgs))
         out = {"video": np.stack(clips), "audio": None,

@@ -136,6 +136,14 @@ def get_training_arguments(
     parser = add_sampler_arguments(parser)
     parser = arguments_collate_fn(parser)
     parser = arguments_augmentation(parser)
+    # reference opts.py:309: every --image-augmentation.* flag is duplicated
+    # under --frame-augmentation.* so video pipelines configure per-frame augs
+    # without overloading the image keys
+    from cvnets_tpu.options.utils import extend_selected_args_with_prefix
+
+    parser = extend_selected_args_with_prefix(
+        parser, match_prefix="--image-augmentation.",
+        additional_prefix="--frame-augmentation.")
     parser = arguments_video_reader(parser)
     parser = add_loss_fn_arguments(parser)
     parser = arguments_optimizer(parser)

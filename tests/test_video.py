@@ -160,3 +160,31 @@ def test_frame_folder_reader_sidecar_audio_sync(tmp_path):
     assert abs(blob["audio"][0, 0, 0] - ramp[0]) < 1e-3
     assert abs(blob["audio"][0, -1, 0] - ramp[39]) < 1e-3
     assert abs(blob["audio"][1, 0, 0] - ramp[160]) < 1e-3
+
+
+def test_frame_augmentation_prefix_applies_per_frame(tmp_path):
+    """--frame-augmentation.* clones the image-augmentation flags and applies
+    them per decoded frame (reference base_av_reader.py:66-143)."""
+    from PIL import Image
+
+    from cvnets_tpu.data.video_reader.base_av_reader import FrameFolderReader
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    vdir = tmp_path / "vid"
+    vdir.mkdir()
+    for i in range(6):
+        Image.new("RGB", (16, 16), (10 * i, 100, 200)).save(
+            vdir / f"f{i:03d}.jpg")
+
+    opts = get_training_arguments(args=[
+        "--frame-augmentation.auto-augment.enable",
+    ])
+    setattr(opts, "video_reader.frames_per_clip", 4)
+    setattr(opts, "video_reader.clips_per_video", 1)
+    reader = FrameFolderReader(opts, is_training=True)
+    assert reader.frame_transforms  # augmentation pipeline constructed
+    blob = reader.read_video(str(vdir))
+    assert blob["video"].shape == (1, 4, 16, 16, 3)
+    # eval readers never augment
+    ev = FrameFolderReader(opts, is_training=False)
+    assert ev.frame_transforms is None
