@@ -84,6 +84,19 @@ class BaseDataset:
         group.add_argument("--dataset.padding-index", type=int, default=None,
                            help="Padding token index for text pipelines "
                                 "(reference dataset.padding_index)")
+        # reference dataset.sample_efficient_training.* (training_engine reads
+        # these; common.* setattr remains a fallback for tests)
+        group.add_argument("--dataset.sample-efficient-training.enable",
+                           action="store_true", default=False)
+        group.add_argument(
+            "--dataset.sample-efficient-training.sample-confidence",
+            type=float, default=None)
+        group.add_argument(
+            "--dataset.sample-efficient-training.find-easy-samples-every-k-epochs",
+            type=int, default=None)
+        group.add_argument(
+            "--dataset.sample-efficient-training.min-sample-frequency",
+            type=int, default=None)
         group.add_argument("--dataset.disable-val", action="store_true",
                            default=False,
                            help="Skip building the validation dataset/loader")

@@ -27,8 +27,13 @@ class BaseAVReader:
     def __init__(self, opts, is_training: bool = False, *args, **kwargs) -> None:
         self.opts = opts
         self.is_training = is_training
-        self.frames_per_clip = getattr(opts, "video_reader.frames_per_clip", 8)
-        self.clips_per_video = getattr(opts, "video_reader.clips_per_video", 1)
+        # dataset-level flags (reference spelling) win over video-reader ones
+        self.frames_per_clip = (
+            getattr(opts, "dataset.n_frames_per_clip", None)
+            or getattr(opts, "video_reader.frames_per_clip", 8))
+        self.clips_per_video = (
+            getattr(opts, "dataset.clips_per_video", None)
+            or getattr(opts, "video_reader.clips_per_video", 1))
         self.frame_transforms = self.get_frame_transform(opts, is_training)
 
     @staticmethod
@@ -89,9 +94,21 @@ class BaseAVReader:
         group = parser.add_argument_group(cls.__name__)
         group.add_argument("--video-reader.frames-per-clip", type=int, default=8)
         group.add_argument("--video-reader.clips-per-video", type=int, default=1)
+        # reference dataset-level spellings
+        group.add_argument("--dataset.n-frames-per-clip", type=int, default=None)
+        group.add_argument("--dataset.clips-per-video", type=int, default=None)
         group.add_argument("--video-reader.frame-fps", type=float, default=30.0,
                            help="Nominal fps of frame-folder videos (used to"
                                 " align sidecar audio with sampled clips).")
+        group.add_argument("--video-reader.fast-video-decoding",
+                           action="store_true", default=False,
+                           help="Config-compat (reference pyav threading); the"
+                                " frame-folder reader decodes in loader threads")
+        group.add_argument("--video-reader.frame-stack-format", type=str,
+                           default="sequence_first",
+                           choices=["sequence_first", "channel_first"],
+                           help="Config-compat; TPU tensors are channels-last"
+                                " (N, T, H, W, C) either way")
         return parser
 
     def _read_clip_audio(self, wav_path: str, clip_ids: List[List[int]],

@@ -70,15 +70,20 @@ class Trainer:
         self.ema_copy_at_epoch = getattr(opts, "ema.copy_at_epoch", -1)
 
         # sample-efficient training (reference training_engine.py:131-156, 458-570)
-        self.set_enabled = getattr(opts, "common.sample_efficient_training.enable",
-                                   False)
-        self.set_confidence = getattr(
-            opts, "common.sample_efficient_training.sample_confidence", 0.5)
-        self.set_every_k = getattr(
-            opts, "common.sample_efficient_training.find_easy_samples_every_k_epochs",
-            5)
-        self.set_min_epochs = getattr(
-            opts, "common.sample_efficient_training.min_sample_frequency", 5)
+        def _set_cfg(key, default):
+            # reference prefix is dataset.*; common.* kept as a fallback
+            # (numeric dataset flags default to None so a common.* setattr wins)
+            v = getattr(opts, f"dataset.sample_efficient_training.{key}", None)
+            if v is None:
+                v = getattr(opts, f"common.sample_efficient_training.{key}", None)
+            return default if v is None else v
+
+        self.set_enabled = bool(
+            getattr(opts, "dataset.sample_efficient_training.enable", False)
+            or getattr(opts, "common.sample_efficient_training.enable", False))
+        self.set_confidence = _set_cfg("sample_confidence", 0.5)
+        self.set_every_k = _set_cfg("find_easy_samples_every_k_epochs", 5)
+        self.set_min_epochs = _set_cfg("min_sample_frequency", 5)
         self._easy_counts: Dict[int, int] = {}
 
         self.train_metric_names = getattr(opts, "stats.train", ["loss"])
