@@ -552,3 +552,21 @@ def test_parity_gradients_mobilenetv2():
     assert np.max(np.abs(g_w - ref_grads["classifier_w"])) < 1e-4
     g_b = leaf(grads, ("classifier", "fc", "bias"))
     assert np.max(np.abs(g_b - ref_grads["classifier_b"])) < 1e-4
+
+
+def test_parity_mobilevit_v2_width_100():
+    """Flagship width (the benched configuration): catches drift in the
+    width-multiplier config table beyond the 0.5 spot check."""
+    _run_parity(
+        "mobilevit_v2",
+        ["--model.classification.mitv2.width-multiplier", "1.0",
+         "--model.activation.name", "swish"],
+        hw=64,
+    )
+
+
+def test_parity_efficientnet_b1():
+    """Compound scaling beyond B0 (depth/width round-up rules)."""
+    _run_parity(
+        "efficientnet",
+        ["--model.classification.efficientnet.mode", "b1"], hw=64, atol=5e-4)
