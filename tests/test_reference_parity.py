@@ -22,9 +22,13 @@ sys.path.insert(0, "tests")  # for reference_interop when run from repo root
 
 from reference_interop import build_reference_model, reference_available  # noqa: E402
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference tree not present"
-)
+pytestmark = [
+    pytest.mark.skipif(not reference_available(),
+                       reason="reference tree not present"),
+    # thorough cross-framework checks belong in the full suite, not the
+    # quick gate (VERDICT r1 weak #7)
+    pytest.mark.slow,
+]
 
 
 def _our_logits(opts, x_nhwc: np.ndarray, torch_state: dict) -> tuple:
