@@ -166,6 +166,101 @@ class BaseImageClassificationDataset(BaseImageDataset):
         except Exception:
             return None
 
+    def _native_batch_eligible(self) -> bool:
+        opts = self.opts
+        return bool(
+            self.is_training
+            and getattr(opts, "dataset.decoder", "pil") == "native"
+            and getattr(opts, "image_augmentation.random_resized_crop.enable",
+                        False)
+            and not getattr(opts, "image_augmentation.auto_augment.enable", False)
+            and not getattr(
+                opts, "image_augmentation.rand_augment.use_timm_library", False))
+
+    def fetch_batch_native(self, batch_tuples) -> Optional[Dict]:
+        """Whole-batch fast path: ONE native call decodes every JPEG straight
+        into the collated uint8 batch buffer (C++ thread pool, crop-region-only
+        IDCT, in-kernel flip; cvnets_tpu/native/decode.cpp). Pixels stay uint8
+        on the host — normalization to [0, 1] happens on device inside the
+        compiled train step, quartering host memory traffic. Returns None to
+        fall back to the per-sample path (non-JPEG files, policy augs, or no
+        native library)."""
+        if not self._native_batch_eligible():
+            return None
+        from cvnets_tpu import native
+        from cvnets_tpu.data.transforms.image import RandomResizedCrop
+
+        if native.load_library() is None:
+            return None
+        parsed = [self._parse_batch_tuple(t) for t in batch_tuples]
+        crop_h = parsed[0][0] if parsed[0][0] > 0 else 224
+        crop_w = parsed[0][1] if parsed[0][1] > 0 else 224
+        idxs = [p[2] for p in parsed]
+        paths = []
+        targets = []
+        for idx in idxs:
+            path, target = self.samples[idx]
+            if not path.lower().endswith((".jpg", ".jpeg")):
+                return None
+            paths.append(path)
+            targets.append(target)
+        try:
+            blobs = []
+            for p in paths:
+                with open(p, "rb") as f:
+                    blobs.append(f.read())
+        except OSError:
+            return None
+
+        # per-file dimension cache: the header probe is paid once per epoch 0
+        dims_cache = getattr(self, "_dims_cache", None)
+        if dims_cache is None:
+            dims_cache = self._dims_cache = {}
+        missing = [k for k, idx in enumerate(idxs) if idx not in dims_cache]
+        if missing:
+            probed = native.jpeg_dimensions_batch([blobs[k] for k in missing])
+            if probed is None:
+                return None
+            for k, (w, h) in zip(missing, probed):
+                dims_cache[idxs[k]] = (int(w), int(h))
+
+        rrc = getattr(self, "_rrc_cache", None)
+        if rrc is None:
+            rrc = self._rrc_cache = RandomResizedCrop(
+                self.opts, size=(crop_h, crop_w))
+        crops = []
+        for idx in idxs:
+            w, h = dims_cache[idx]
+            if w <= 0 or h <= 0:
+                crops.append((0, 0, -1, -1))  # corrupt header: decode will fail
+                continue
+            i, j, ch, cw = rrc.get_params(h, w)
+            crops.append((j, i, cw, ch))
+        if getattr(self.opts, "image_augmentation.random_horizontal_flip.enable",
+                   False):
+            flips = (np.random.rand(len(idxs)) < 0.5).astype(np.uint8)
+        else:
+            flips = None
+        res = native.decode_rrc_batch(blobs, crops, flips, (crop_h, crop_w))
+        if res is None:
+            return None
+        samples, ok = res
+        targets = np.asarray(targets, np.int32)
+        sample_ids = np.asarray(idxs, np.int64)
+        if not ok.all():
+            # corrupt-sample protocol under static shapes: replace failed slots
+            # with repeats of valid ones (collate_functions._replace_corrupt)
+            valid = np.nonzero(ok)[0]
+            if valid.size == 0:
+                targets = np.full_like(targets, -1)
+            else:
+                bad = np.nonzero(~ok)[0]
+                repl = valid[np.arange(bad.size) % valid.size]
+                samples[bad] = samples[repl]
+                targets[bad] = targets[repl]
+                sample_ids[bad] = sample_ids[repl]
+        return {"samples": samples, "targets": targets, "sample_id": sample_ids}
+
     def __getitem__(self, sample_size_and_index) -> Dict:
         crop_h, crop_w, idx = self._parse_batch_tuple(sample_size_and_index)
         if crop_h <= 0:

@@ -54,7 +54,24 @@ class CVNetsDataLoader:
         return len(self.batch_sampler)
 
     # -- iteration ------------------------------------------------------------
+    # collates whose output the native whole-batch path reproduces exactly
+    _NATIVE_BATCH_COLLATES = (
+        "default_collate_fn", "image_classification_data_collate_fn",
+    )
+
+    def _collate_name(self) -> str:
+        fn = self.collate_fn
+        fn = getattr(fn, "func", fn)  # unwrap functools.partial
+        return getattr(fn, "__name__", "")
+
     def _fetch_batch(self, batch_tuples) -> Dict:
+        fetch_native = getattr(self.dataset, "fetch_batch_native", None)
+        if (fetch_native is not None
+                and (self.collate_fn is None
+                     or self._collate_name() in self._NATIVE_BATCH_COLLATES)):
+            out = fetch_native(batch_tuples)
+            if out is not None:
+                return out
         if self._pool is not None:
             items = list(self._pool.map(self.dataset.__getitem__, batch_tuples))
         else:

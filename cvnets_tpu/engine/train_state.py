@@ -104,6 +104,11 @@ def make_train_step(
                    epoch: jnp.ndarray = 0,
                    bn_momentum: Optional[jnp.ndarray] = None) -> Tuple:
         samples, targets = batch["samples"], batch["targets"]
+        # the native loader ships uint8 pixels (4x less host traffic); the
+        # [0, 1] normalization the host ToFloatTensor would do runs on device,
+        # where XLA fuses it into the first conv's input
+        if hasattr(samples, "dtype") and samples.dtype == jnp.uint8:
+            samples = samples.astype(jnp.float32) / 255.0
         rng = jax.random.fold_in(rng, state.step)
         mix_rng, aug_rng, dropout_rng = jax.random.split(rng, 3)
         if augment_fn is not None:
@@ -220,6 +225,9 @@ def make_eval_step(model, criteria, metric_objs: Dict[str, Any], use_ema: bool =
     shift-set's class subset (reference base_imagenet_shift_dataset semantics)."""
 
     def eval_step(state: TrainState, batch: Dict) -> Dict:
+        samples = batch["samples"]
+        if hasattr(samples, "dtype") and samples.dtype == jnp.uint8:
+            batch = dict(batch, samples=samples.astype(jnp.float32) / 255.0)
         using_ema = use_ema and state.ema_params is not None
         params = state.ema_params if using_ema else state.params
         variables = {"params": params}

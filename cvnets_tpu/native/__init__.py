@@ -69,6 +69,26 @@ def load_library():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.jpeg_dimensions.restype = ctypes.c_int
+        lib.decode_rrc_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.decode_rrc_batch.restype = None
+        lib.jpeg_dimensions_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.jpeg_dimensions_batch.restype = None
         _LIB = lib
         return _LIB
 
@@ -115,3 +135,63 @@ def decode_crop_resize_batch(
         int(n_threads),
     )
     return out, status.astype(bool)
+
+
+def decode_rrc_batch(
+    blobs: Sequence[bytes],
+    crops: Sequence[Tuple[int, int, int, int]],
+    flips: Optional[np.ndarray],
+    out_hw: Tuple[int, int],
+    out: Optional[np.ndarray] = None,
+    n_threads: int = 0,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Batched decode + crop (x, y, w, h; w<=0 = full) + resize + optional
+    horizontal flip, written directly into the collated uint8 batch ``out``
+    (allocated when None). Only the crop region is IDCT'd (libjpeg-turbo
+    jpeg_crop_scanline / jpeg_skip_scanlines). Returns (batch (N, H, W, 3)
+    uint8, ok (N,) bool) or None when the native library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(blobs)
+    h, w = int(out_hw[0]), int(out_hw[1])
+    bufs = (ctypes.c_char_p * n)(*blobs)
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+    crop_arr = np.ascontiguousarray(np.asarray(crops, np.int32).reshape(-1))
+    if flips is None:
+        flip_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    else:
+        flips = np.ascontiguousarray(np.asarray(flips, np.uint8))
+        flip_ptr = flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if out is None:
+        out = np.empty((n, h, w, 3), np.uint8)
+    status = np.zeros((n,), np.int32)
+    lib.decode_rrc_batch(
+        ctypes.cast(bufs, ctypes.POINTER(ctypes.c_char_p)),
+        lens, n,
+        crop_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        flip_ptr,
+        h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        int(n_threads),
+    )
+    return out, status.astype(bool)
+
+
+def jpeg_dimensions_batch(blobs: Sequence[bytes]) -> Optional[np.ndarray]:
+    """(N, 2) int32 of (width, height) per blob (0, 0 on failure), or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(blobs)
+    bufs = (ctypes.c_char_p * n)(*blobs)
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+    ws = np.zeros((n,), np.int32)
+    hs = np.zeros((n,), np.int32)
+    lib.jpeg_dimensions_batch(
+        ctypes.cast(bufs, ctypes.POINTER(ctypes.c_char_p)), lens, n,
+        ws.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return np.stack([ws, hs], axis=1)

@@ -38,9 +38,10 @@ void error_exit_cb(j_common_ptr cinfo) {
 
 // area-average resize for strong downscales (antialiased, close to PIL's
 // filtered downsample — plain bilinear aliases and drifts the training
-// distribution vs reference checkpoints)
+// distribution vs reference checkpoints). `flip` mirrors the output
+// horizontally while writing (free flip: no extra pass over the pixels).
 void resize_area(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
-                 int dw, int channels) {
+                 int dw, int channels, bool flip = false) {
   const float sy = static_cast<float>(sh) / dh;
   const float sx = static_cast<float>(sw) / dw;
   for (int y = 0; y < dh; ++y) {
@@ -62,8 +63,9 @@ void resize_area(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
         }
       }
       const float inv = 1.0f / ((y1 - y0) * (x1 - x0));
+      const int ox = flip ? (dw - 1 - x) : x;
       for (int c = 0; c < channels; ++c) {
-        out[x * channels + c] = static_cast<uint8_t>(acc[c] * inv + 0.5f);
+        out[ox * channels + c] = static_cast<uint8_t>(acc[c] * inv + 0.5f);
       }
     }
   }
@@ -72,7 +74,7 @@ void resize_area(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
 // bilinear resize HWC uint8 (half-pixel convention, matches PIL/torch
 // align_corners=False closely enough for training data)
 void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
-                     int dw, int channels) {
+                     int dw, int channels, bool flip = false) {
   const float sy = static_cast<float>(sh) / dh;
   const float sx = static_cast<float>(sw) / dw;
   std::vector<int> x0(dw), x1(dw);
@@ -95,10 +97,11 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
     uint8_t* out = dst + static_cast<size_t>(y) * dw * channels;
     for (int x = 0; x < dw; ++x) {
       const int o0 = x0[x] * channels, o1 = x1[x] * channels;
+      const int ox = flip ? (dw - 1 - x) : x;
       for (int c = 0; c < channels; ++c) {
         const float top = r0[o0 + c] + (r0[o1 + c] - r0[o0 + c]) * fx[x];
         const float bot = r1[o0 + c] + (r1[o1 + c] - r1[o0 + c]) * fx[x];
-        out[x * channels + c] =
+        out[ox * channels + c] =
             static_cast<uint8_t>(top + (bot - top) * fy + 0.5f);
       }
     }
@@ -106,9 +109,14 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
 }
 
 // decode one JPEG; crop (cx,cy,cw,ch) in ORIGINAL image coords (cw<=0 = full
-// image); resize to (out_h, out_w) RGB. Returns true on success.
+// image); resize to (out_h, out_w) RGB, mirrored when `flip`. Returns true on
+// success. Only the crop region is IDCT'd: DCT-domain prescale picks the
+// coarsest 1/2^k raster that still covers the output, jpeg_crop_scanline
+// restricts the horizontal extent to the crop's iMCU span, and
+// jpeg_skip_scanlines skips the rows above it (libjpeg-turbo partial-decode
+// API); rows below the crop are never read (jpeg_abort_decompress).
 bool decode_one(const uint8_t* buf, size_t len, int cx, int cy, int cw, int ch,
-                int out_h, int out_w, uint8_t* out) {
+                int out_h, int out_w, uint8_t* out, bool flip = false) {
   jpeg_decompress_struct cinfo;
   ErrorMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
@@ -151,7 +159,6 @@ bool decode_one(const uint8_t* buf, size_t len, int cx, int cy, int cw, int ch,
   jpeg_start_decompress(&cinfo);
   const int dec_w = cinfo.output_width;
   const int dec_h = cinfo.output_height;
-  const int channels = cinfo.output_components;  // 3 (JCS_RGB)
 
   // crop coords in the decoded (prescaled) raster
   int dcx = cx / denom, dcy = cy / denom;
@@ -161,34 +168,40 @@ bool decode_one(const uint8_t* buf, size_t len, int cx, int cy, int cw, int ch,
   dcw = std::min(dcw, dec_w - dcx);
   dch = std::min(dch, dec_h - dcy);
 
-  std::vector<uint8_t> crop_buf(static_cast<size_t>(dch) * dcw * 3);
-  std::vector<uint8_t> row(static_cast<size_t>(dec_w) * channels);
-  JSAMPROW rowp = row.data();
-  int y = 0;
-  while (cinfo.output_scanline < cinfo.output_height) {
-    jpeg_read_scanlines(&cinfo, &rowp, 1);
-    if (y >= dcy && y < dcy + dch) {
-      uint8_t* dst = crop_buf.data() + static_cast<size_t>(y - dcy) * dcw * 3;
-      if (channels == 3) {
-        std::memcpy(dst, row.data() + static_cast<size_t>(dcx) * 3,
-                    static_cast<size_t>(dcw) * 3);
-      } else {  // grayscale fallback
-        for (int x = 0; x < dcw; ++x) {
-          const uint8_t v = row[dcx + x];
-          dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = v;
-        }
-      }
-    }
-    ++y;
+  // restrict horizontal decode to the crop's iMCU span; libjpeg-turbo rounds
+  // xoff down to an iMCU boundary and widens xw accordingly, so the requested
+  // columns land at offset (dcx - xoff) in the narrowed raster
+  JDIMENSION xoff = static_cast<JDIMENSION>(dcx);
+  JDIMENSION xw = static_cast<JDIMENSION>(dcw);
+  jpeg_crop_scanline(&cinfo, &xoff, &xw);
+  const int row_w = static_cast<int>(cinfo.output_width);
+  const int xdelta = dcx - static_cast<int>(xoff);
+  const int channels = cinfo.output_components;  // 3 (JCS_RGB)
+
+  // skip rows above the crop without IDCT work
+  while (static_cast<int>(cinfo.output_scanline) < dcy) {
+    jpeg_skip_scanlines(
+        &cinfo, static_cast<JDIMENSION>(dcy) - cinfo.output_scanline);
   }
-  jpeg_finish_decompress(&cinfo);
+
+  std::vector<uint8_t> crop_buf(static_cast<size_t>(dch) * dcw * 3);
+  std::vector<uint8_t> row(static_cast<size_t>(row_w) * channels);
+  JSAMPROW rowp = row.data();
+  for (int y = 0; y < dch; ++y) {
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    uint8_t* dst = crop_buf.data() + static_cast<size_t>(y) * dcw * 3;
+    std::memcpy(dst, row.data() + static_cast<size_t>(xdelta) * 3,
+                static_cast<size_t>(dcw) * 3);
+  }
+  // rows below the crop are never decoded
+  jpeg_abort_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
   // antialias on strong downscale, bilinear otherwise
   if (dcw >= out_w * 3 / 2 && dch >= out_h * 3 / 2) {
-    resize_area(crop_buf.data(), dch, dcw, out, out_h, out_w, 3);
+    resize_area(crop_buf.data(), dch, dcw, out, out_h, out_w, 3, flip);
   } else {
-    resize_bilinear(crop_buf.data(), dch, dcw, out, out_h, out_w, 3);
+    resize_bilinear(crop_buf.data(), dch, dcw, out, out_h, out_w, 3, flip);
   }
   return true;
 }
@@ -198,11 +211,13 @@ bool decode_one(const uint8_t* buf, size_t len, int cx, int cy, int cw, int ch,
 extern "C" {
 
 // bufs/lens: n encoded JPEGs; crops: n*4 ints (x, y, w, h; w<=0 = full);
-// out: n*out_h*out_w*3 uint8; status: n ints (1 ok / 0 failed).
-// n_threads <= 0 uses hardware_concurrency.
-void decode_crop_resize_batch(const uint8_t** bufs, const size_t* lens, int n,
-                              const int* crops, int out_h, int out_w,
-                              uint8_t* out, int* status, int n_threads) {
+// flips: n bytes (nonzero = horizontal mirror) or null; out: the COLLATED
+// batch n*out_h*out_w*3 uint8 (each image decoded straight into its batch
+// slot — no per-sample numpy copies on the Python side); status: n ints
+// (1 ok / 0 failed). n_threads <= 0 uses hardware_concurrency.
+void decode_rrc_batch(const uint8_t** bufs, const size_t* lens, int n,
+                      const int* crops, const uint8_t* flips, int out_h,
+                      int out_w, uint8_t* out, int* status, int n_threads) {
   if (n_threads <= 0) {
     n_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (n_threads <= 0) n_threads = 4;
@@ -218,15 +233,52 @@ void decode_crop_resize_batch(const uint8_t** bufs, const size_t* lens, int n,
       const bool ok =
           decode_one(bufs[i], lens[i], crops[i * 4], crops[i * 4 + 1],
                      crops[i * 4 + 2], crops[i * 4 + 3], out_h, out_w,
-                     out + static_cast<size_t>(i) * img_bytes);
+                     out + static_cast<size_t>(i) * img_bytes,
+                     flips != nullptr && flips[i] != 0);
       if (!ok) std::memset(out + static_cast<size_t>(i) * img_bytes, 0,
                            img_bytes);
       status[i] = ok ? 1 : 0;
     }
   };
   std::vector<std::thread> pool;
-  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+  worker();  // calling thread participates (matters on 1-core hosts)
   for (auto& th : pool) th.join();
+}
+
+void decode_crop_resize_batch(const uint8_t** bufs, const size_t* lens, int n,
+                              const int* crops, int out_h, int out_w,
+                              uint8_t* out, int* status, int n_threads) {
+  decode_rrc_batch(bufs, lens, n, crops, nullptr, out_h, out_w, out, status,
+                   n_threads);
+}
+
+// header-only dimension probe for a whole batch: ws/hs get n ints (0 on
+// failure). Amortizes the ctypes round-trip the per-image probe pays.
+void jpeg_dimensions_batch(const uint8_t** bufs, const size_t* lens, int n,
+                           int* ws, int* hs) {
+  for (int i = 0; i < n; ++i) {
+    jpeg_decompress_struct cinfo;
+    ErrorMgr err;
+    cinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = error_exit_cb;
+    if (setjmp(err.jump)) {
+      jpeg_destroy_decompress(&cinfo);
+      ws[i] = hs[i] = 0;
+      continue;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(bufs[i]),
+                 static_cast<unsigned long>(lens[i]));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+      jpeg_destroy_decompress(&cinfo);
+      ws[i] = hs[i] = 0;
+      continue;
+    }
+    ws[i] = cinfo.image_width;
+    hs[i] = cinfo.image_height;
+    jpeg_destroy_decompress(&cinfo);
+  }
 }
 
 // probe the image dimensions without a full decode (for crop sampling)

@@ -43,6 +43,41 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
 
 
+def _scale_by_amsgrad_torch(b1: float, b2: float,
+                            eps: float) -> optax.GradientTransformation:
+    """torch-semantics AMSGrad: vmax tracks the RAW second moment and bias
+    correction divides at use time (``sqrt(max_v / bc2)``). optax's own
+    ``scale_by_amsgrad`` maxes the bias-CORRECTED moment, which diverges from
+    ``torch.optim.Adam(amsgrad=True)`` while bc2 is still moving."""
+    import jax.numpy as jnp
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p)  # noqa: E731
+        return {
+            "count": jnp.zeros([], jnp.int32),
+            "m": jax.tree_util.tree_map(zeros, params),
+            "v": jax.tree_util.tree_map(zeros, params),
+            "vmax": jax.tree_util.tree_map(zeros, params),
+        }
+
+    def update(grads, state, params=None):
+        del params
+        count = state["count"] + 1
+        m = jax.tree_util.tree_map(
+            lambda m_, g: b1 * m_ + (1 - b1) * g, state["m"], grads)
+        v = jax.tree_util.tree_map(
+            lambda v_, g: b2 * v_ + (1 - b2) * g * g, state["v"], grads)
+        vmax = jax.tree_util.tree_map(jnp.maximum, state["vmax"], v)
+        c = count.astype(jnp.float32)
+        bc1 = 1 - b1 ** c
+        bc2 = 1 - b2 ** c
+        updates = jax.tree_util.tree_map(
+            lambda m_, vm: (m_ / bc1) / (jnp.sqrt(vm / bc2) + eps), m, vmax)
+        return updates, {"count": count, "m": m, "v": v, "vmax": vmax}
+
+    return optax.GradientTransformation(init, update)
+
+
 class BaseOptim:
     """Registered optimizers implement ``make(opts, wd_mask) -> fn(learning_rate)``."""
 
@@ -96,13 +131,20 @@ class AdamOptimizer(BaseOptim):
         b2 = getattr(opts, "optim.adam.beta2", 0.999)
         eps = getattr(opts, "optim.adam.eps", None) or getattr(
             opts, "optim.eps", 1e-8)
+        amsgrad = getattr(opts, "optim.adam.amsgrad", False)
 
         def factory(learning_rate):
             # torch Adam applies coupled L2 (not decoupled)
             parts = []
             if wd and wd > 0:
                 parts.append(optax.add_decayed_weights(wd, mask=mask_fn))
-            parts.append(optax.adam(learning_rate, b1=b1, b2=b2, eps=eps))
+            if amsgrad:
+                parts.extend([
+                    _scale_by_amsgrad_torch(b1=b1, b2=b2, eps=eps),
+                    optax.scale_by_learning_rate(learning_rate),
+                ])
+            else:
+                parts.append(optax.adam(learning_rate, b1=b1, b2=b2, eps=eps))
             return optax.chain(*parts)
 
         return factory
@@ -126,8 +168,17 @@ class AdamWOptimizer(BaseOptim):
         b2 = getattr(opts, "optim.adamw.beta2", 0.999)
         eps = getattr(opts, "optim.adamw.eps", None) or getattr(
             opts, "optim.eps", 1e-8)
+        amsgrad = getattr(opts, "optim.adamw.amsgrad", False)
 
         def factory(learning_rate):
+            if amsgrad:
+                # decoupled wd around the amsgrad moment update (torch
+                # AdamW(amsgrad=True) semantics)
+                return optax.chain(
+                    _scale_by_amsgrad_torch(b1=b1, b2=b2, eps=eps),
+                    optax.add_decayed_weights(wd or 0.0, mask=mask_fn),
+                    optax.scale_by_learning_rate(learning_rate),
+                )
             return optax.adamw(
                 learning_rate, b1=b1, b2=b2, eps=eps,
                 weight_decay=wd or 0.0, mask=mask_fn,

@@ -17,6 +17,10 @@ def device_setup(opts):
     The reference also configures cudnn/TF32 (utils/common_utils.py:66-108); the XLA
     analog (deterministic compilation) needs no per-run switches.
     """
+    from cvnets_tpu.utils.host_alloc import tune_host_allocator
+
+    tune_host_allocator()
+
     seed = getattr(opts, "common.seed", 0) or 0
     random.seed(seed)
     np.random.seed(seed)

@@ -92,3 +92,54 @@ def test_dataset_native_fast_path(tmp_path):
     assert out["samples"].shape == (224, 224, 3)
     assert out["samples"].dtype == np.float32
     assert 0.0 <= out["samples"].min() and out["samples"].max() <= 1.0
+
+
+def test_loader_whole_batch_native_path(tmp_path):
+    """decoder=native + RRC routes whole batches through ONE C++ call
+    (dataset.fetch_batch_native): uint8 pixels, collated shape, corrupt-slot
+    replacement, and no per-sample __getitem__ involvement."""
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    root = tmp_path / "training"
+    rng = np.random.default_rng(0)
+    n_per, classes = 4, ("a", "b")
+    for ci, cls in enumerate(classes):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(n_per):
+            Image.fromarray(rng.integers(0, 255, (96, 128, 3), np.uint8)).save(
+                str(d / f"{i}.jpg"), quality=90)
+    # one corrupt file exercises the repeat-a-valid-slot protocol
+    (root / classes[0] / "bad.jpg").write_bytes(b"not a jpeg")
+    opts = get_training_arguments(args=[
+        "--dataset.category", "classification",
+        "--dataset.name", "imagenet",
+        "--model.classification.name", "mobilenetv2",
+        "--dataset.root-train", str(root),
+        "--dataset.root-val", str(root),
+        "--dataset.decoder", "native",
+        "--dataset.train-batch-size0", "4",
+        "--dataset.workers", "1",
+        "--sampler.name", "batch_sampler",
+        "--sampler.bs.crop-size-width", "64",
+        "--sampler.bs.crop-size-height", "64",
+        "--image-augmentation.random-resized-crop.enable",
+        "--image-augmentation.random-horizontal-flip.enable",
+    ])
+    train_loader, _, _ = create_train_val_loader(opts)
+    ds = train_loader.dataset
+    orig = type(ds).__getitem__
+    type(ds).__getitem__ = (
+        lambda self, t: (_ for _ in ()).throw(RuntimeError("per-sample path")))
+    try:
+        seen_ids = set()
+        for batch in train_loader:
+            assert batch["samples"].dtype == np.uint8
+            assert batch["samples"].shape[1:] == (64, 64, 3)
+            assert batch["targets"].dtype == np.int32
+            assert (batch["targets"] >= 0).all()  # corrupt slot replaced
+            seen_ids.update(batch["sample_id"].tolist())
+    finally:
+        type(ds).__getitem__ = orig
+    assert len(seen_ids) >= 2 * n_per  # every healthy sample surfaced
