@@ -26,6 +26,10 @@ def create_test_loader(opts) -> CVNetsDataLoader:
     test_dataset = get_test_dataset(opts)
     for k, v in (test_dataset.share_dataset_arguments() or {}).items():
         setattr(opts, k, v)
+    # eval batch size overrides the val one (reference data_loaders.py:28-33)
+    eval_bsz = getattr(opts, "dataset.eval_batch_size0", None)
+    if eval_bsz:
+        setattr(opts, "dataset.val_batch_size0", eval_bsz)
     sampler_name = getattr(opts, "sampler.name", "batch_sampler")
     if sampler_name.startswith(("variable_batch_sampler", "multi_scale_sampler")):
         setattr(opts, "sampler.name", "batch_sampler")

@@ -62,6 +62,11 @@ class COCOSSDDataset(COCODetection):
                 Resize(self.opts, img_size=list(size)),
                 RandomHorizontalFlip(self.opts),
             ]
+        elif self.is_evaluation and not getattr(
+                self.opts, "evaluation.detection.resize_input_images", False):
+            # reference coco_base.py:100-112: offline eval runs at native
+            # resolution unless --evaluation.detection.resize-input-images
+            transforms = []
         else:
             transforms = [Resize(self.opts, img_size=list(size))]
         transforms.append(ToFloatTensor(self.opts))

@@ -362,4 +362,24 @@ class ImageNetZeroShot(BaseImageDataset):
 def multi_modal_img_text_collate_fn(batch: List[Dict], opts=None) -> Dict:
     from cvnets_tpu.data.collate.collate_functions import default_collate_fn
 
-    return default_collate_fn(batch, opts)
+    out = default_collate_fn(batch, opts)
+    # reference base_multi_modal_img_text.py:435,461-464 truncates text to the
+    # longest real sequence in the batch. TPU delta: round the cut up to a
+    # 16-token bucket so XLA sees a handful of shapes, not one per batch.
+    if opts is not None and getattr(
+            opts, "dataset.multi_modal_img_text.trunc_seq_len", False):
+        samples = out.get("samples")
+        if isinstance(samples, dict) and "text" in samples:
+            text = samples["text"]
+            lengths = (np.asarray(text) != 0).astype(np.int32)
+            # position after the last non-pad token, over all leading axes
+            last = lengths * np.arange(1, text.shape[-1] + 1)
+            max_len = int(last.max()) if last.size else 1
+            bucket = max(16, ((max_len + 15) // 16) * 16)
+            if bucket < text.shape[-1]:
+                samples = dict(samples, text=text[..., :bucket])
+                if "padding_mask" in samples and samples["padding_mask"] is not None:
+                    samples["padding_mask"] = \
+                        samples["padding_mask"][..., :bucket]
+                out["samples"] = samples
+    return out

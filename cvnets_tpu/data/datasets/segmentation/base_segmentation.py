@@ -60,18 +60,59 @@ class BaseImageSegmentationDataset(BaseImageDataset):
         return parser
 
     def _training_transforms(self, size: Tuple[int, int]):
-        return Compose(self.opts, [
-            RandomShortSizeResize(self.opts),
-            RandomHorizontalFlip(self.opts),
-            RandomCrop(self.opts, size=size, ignore_idx=self.ignore_label),
-            ToFloatTensor(self.opts),
-        ])
+        # conditional augs + optional shuffled order, reference
+        # base_segmentation.py:135-159 (RandomShortSizeResize always first)
+        from cvnets_tpu.data.transforms.image import PhotometricDistort
+        from cvnets_tpu.data.transforms.image_advanced import (
+            RandomGaussianBlur,
+            RandomOrder,
+            RandomRotate,
+        )
+
+        opts = self.opts
+        first_aug = RandomShortSizeResize(opts)
+        aug_list = [
+            RandomHorizontalFlip(opts),
+            RandomCrop(opts, size=size, ignore_idx=self.ignore_label),
+        ]
+        if getattr(opts, "image_augmentation.random_gaussian_noise.enable",
+                   False):
+            aug_list.append(RandomGaussianBlur(opts))
+        if getattr(opts, "image_augmentation.photo_metric_distort.enable",
+                   False):
+            aug_list.append(PhotometricDistort(opts))
+        if getattr(opts, "image_augmentation.random_rotate.enable", False):
+            aug_list.append(RandomRotate(opts))
+        if getattr(opts, "image_augmentation.random_order.enable", False):
+            return Compose(opts, [
+                first_aug,
+                RandomOrder(opts, img_transforms=aug_list),
+                ToFloatTensor(opts),
+            ])
+        return Compose(opts, [first_aug] + aug_list + [ToFloatTensor(opts)])
 
     def _validation_transforms(self, size: Tuple[int, int]):
         return Compose(self.opts, [
             Resize(self.opts, img_size=list(size)),
             ToFloatTensor(self.opts),
         ])
+
+    def _evaluation_transforms(self, size: Tuple[int, int]):
+        """Offline-eval transforms (reference base_segmentation.py:195-215):
+        aspect-preserving min-side resize under
+        --evaluation.segmentation.resize-input-images, exact resize under
+        ...resize-input-images-fixed-size, else no resize."""
+        opts = self.opts
+        aug_list = []
+        fixed = getattr(
+            opts, "evaluation.segmentation.resize_input_images_fixed_size",
+            None)
+        if getattr(opts, "evaluation.segmentation.resize_input_images", False):
+            aug_list.append(Resize(opts, img_size=min(size)))
+        elif fixed:
+            aug_list.append(Resize(opts, img_size=list(fixed)))
+        aug_list.append(ToFloatTensor(opts))
+        return Compose(opts, aug_list)
 
     def __len__(self) -> int:
         return len(self.images)
@@ -96,8 +137,12 @@ class BaseImageSegmentationDataset(BaseImageDataset):
                 "sample_id": idx,
             }
         mask = self.adjust_mask_value(mask)
-        tfm = (self._training_transforms((crop_h, crop_w)) if self.is_training
-               else self._validation_transforms((crop_h, crop_w)))
+        if self.is_training:
+            tfm = self._training_transforms((crop_h, crop_w))
+        elif self.is_evaluation:
+            tfm = self._evaluation_transforms((crop_h, crop_w))
+        else:
+            tfm = self._validation_transforms((crop_h, crop_w))
         data = tfm({"image": img, "mask": mask, "crop_size": (crop_h, crop_w)})
         arr = np.asarray(data["image"], np.float32)
         m = np.asarray(data["mask"], np.int32)

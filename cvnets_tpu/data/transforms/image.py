@@ -294,27 +294,68 @@ class RandomCrop(BaseTransformation):
                            type=int, default=255)
         return parser
 
+    def _fit_to_crop(self, arr, mask, ch, cw):
+        """Make the image at least crop-sized: aspect-preserving resize by
+        default, zero/mask-fill padding under --...random-crop.pad-if-needed
+        (reference image_pil.py RandomCrop._resize_if_needed/_pad_if_needed)."""
+        h, w = arr.shape[:2]
+        if h >= ch and w >= cw:
+            return arr, mask
+        if getattr(self.opts, "image_augmentation.random_crop.pad_if_needed",
+                   False):
+            pad_h, pad_w = max(0, ch - h), max(0, cw - w)
+            mask_fill = getattr(
+                self.opts, "image_augmentation.random_crop.mask_fill", 255)
+            arr = np.pad(arr, ((0, pad_h), (0, pad_w), (0, 0)))
+            if mask is not None:
+                mask = np.pad(mask, ((0, pad_h), (0, pad_w)),
+                              constant_values=mask_fill)
+            return arr, mask
+        # short-side resize keeping aspect ratio (reference :_resize_if_needed)
+        new_short = min(h + max(0, ch - h), w + max(0, cw - w))
+        scale = new_short / min(h, w)
+        nh, nw = max(ch, int(round(h * scale))), max(cw, int(round(w * scale)))
+        arr = np.asarray(Image.fromarray(arr).resize((nw, nh), Image.BILINEAR))
+        if mask is not None:
+            mask = np.asarray(
+                Image.fromarray(mask.astype(np.uint8)).resize(
+                    (nw, nh), Image.NEAREST), mask.dtype)
+        return arr, mask
+
     def __call__(self, data: Dict) -> Dict:
         img = _to_pil(data["image"])
         size = data.get("crop_size", self.size)
         if size is None:
             return data
         ch, cw = size if isinstance(size, (tuple, list)) else (size, size)
-        # pad if needed
-        pad_h, pad_w = max(0, ch - img.height), max(0, cw - img.width)
         arr = np.asarray(img)
-        if pad_h or pad_w:
-            arr = np.pad(arr, ((0, pad_h), (0, pad_w), (0, 0)))
-            if "mask" in data and data["mask"] is not None:
-                data["mask"] = np.pad(np.asarray(data["mask"]),
-                                      ((0, pad_h), (0, pad_w)),
-                                      constant_values=self.ignore_idx)
+        mask = data.get("mask")
+        mask = np.asarray(mask) if mask is not None else None
+        arr, mask = self._fit_to_crop(arr, mask, ch, cw)
         h, w = arr.shape[:2]
-        i = random.randint(0, h - ch)
-        j = random.randint(0, w - cw)
+
+        def sample_ij():
+            return random.randint(0, h - ch), random.randint(0, w - cw)
+
+        i, j = sample_ij()
+        # resample crops dominated by one segmentation class (reference
+        # get_params_from_mask, 10 tries)
+        max_ratio = getattr(
+            self.opts, "image_augmentation.random_crop.seg_class_max_ratio",
+            None)
+        if max_ratio is not None and mask is not None:
+            for _ in range(10):
+                m = mask[i: i + ch, j: j + cw]
+                labels, counts = np.unique(m, return_counts=True)
+                valid = counts[labels != self.ignore_idx]
+                if valid.size > 0:
+                    ratio = valid.max() / valid.sum()
+                    if len(counts) > 1 and ratio < max_ratio:
+                        break
+                i, j = sample_ij()
         data["image"] = Image.fromarray(arr[i: i + ch, j: j + cw])
-        if "mask" in data and data["mask"] is not None:
-            data["mask"] = np.asarray(data["mask"])[i: i + ch, j: j + cw]
+        if mask is not None:
+            data["mask"] = mask[i: i + ch, j: j + cw]
         return data
 
 
@@ -509,20 +550,31 @@ class ToFloatTensor(BaseTransformation):
             type=float, nargs="+", default=None)
         group.add_argument("--image-augmentation.to-tensor.dtype", type=str,
                            default="float",
-                           help="Config-compat; dtype threading happens at the "
-                                "device boundary (--dataset.img-dtype)")
+                           help="float (default), half/float16, or uint8 "
+                                "(raw pixels; reference image_pil.py:1962)")
         return parser
 
     def __call__(self, data: Dict) -> Dict:
+        dtype = (getattr(self.opts, "image_augmentation.to_tensor.dtype",
+                         "float") or "float").lower()
         arr = np.asarray(data["image"])
-        if arr.dtype == np.uint8:
-            arr = arr.astype(np.float32) / 255.0
         if arr.ndim == 2:
             arr = arr[:, :, None].repeat(3, axis=2)
-        arr = arr.astype(np.float32)
-        if self.normalize:
-            arr = (arr - self.mean) / self.std
-        data["image"] = arr
+        if dtype == "uint8":
+            # reference image_pil.py:1962-1968: uint8 keeps raw [0, 255]
+            # pixels (normalization then happens on device)
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+            data["image"] = arr
+        else:
+            if arr.dtype == np.uint8:
+                arr = arr.astype(np.float32) / 255.0
+            arr = arr.astype(np.float32)
+            if self.normalize:
+                arr = (arr - self.mean) / self.std
+            if dtype in ("half", "float16"):
+                arr = arr.astype(np.float16)
+            data["image"] = arr
         if "mask" in data and data["mask"] is not None:
             data["mask"] = np.asarray(data["mask"]).astype(np.int32)
         return data

@@ -218,23 +218,34 @@ class FixedSizeCrop(BaseTransformation):
 # AutoAugment/RandAugment conventions (10 magnitude bins)
 
 
-def _affine(img, matrix):
+_PIL_GEOM_INTERP = {"nearest": Image.NEAREST, "bilinear": Image.BILINEAR,
+                    "bicubic": Image.BICUBIC}
+
+
+def _affine(img, matrix, interpolation: str = "bilinear"):
     return img.transform(img.size, Image.AFFINE, matrix,
-                         resample=Image.BILINEAR, fillcolor=(128, 128, 128))
+                         resample=_PIL_GEOM_INTERP.get(interpolation,
+                                                       Image.BILINEAR),
+                         fillcolor=(128, 128, 128))
 
 
-def _apply_pil_op(img, op: str, magnitude: float):
+def _apply_pil_op(img, op: str, magnitude: float,
+                  interpolation: str = "bilinear"):
     """magnitude is the op-specific signed value (already scaled)."""
     if op == "ShearX":
-        return _affine(img, (1, magnitude, 0, 0, 1, 0))
+        return _affine(img, (1, magnitude, 0, 0, 1, 0), interpolation)
     if op == "ShearY":
-        return _affine(img, (1, 0, 0, magnitude, 1, 0))
+        return _affine(img, (1, 0, 0, magnitude, 1, 0), interpolation)
     if op == "TranslateX":
-        return _affine(img, (1, 0, magnitude * img.size[0], 0, 1, 0))
+        return _affine(img, (1, 0, magnitude * img.size[0], 0, 1, 0),
+                       interpolation)
     if op == "TranslateY":
-        return _affine(img, (1, 0, 0, 0, 1, magnitude * img.size[1]))
+        return _affine(img, (1, 0, 0, 0, 1, magnitude * img.size[1]),
+                       interpolation)
     if op == "Rotate":
-        return img.rotate(magnitude, resample=Image.BILINEAR,
+        return img.rotate(magnitude,
+                          resample=_PIL_GEOM_INTERP.get(interpolation,
+                                                        Image.BILINEAR),
                           fillcolor=(128, 128, 128))
     if op == "Brightness":
         return ImageEnhance.Brightness(img).enhance(1.0 + magnitude)
@@ -327,6 +338,8 @@ class AutoAugment(BaseTransformation):
         if policy != "imagenet":
             logger.error(f"auto_augment: unsupported policy {policy}")
         self.policy = _IMAGENET_POLICY
+        self.interpolation = getattr(
+            opts, "image_augmentation.auto_augment.interpolation", "bilinear")
 
     @classmethod
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
@@ -348,7 +361,7 @@ class AutoAugment(BaseTransformation):
                 mag = _aa_magnitude(op, mag_idx)
                 if op in _SIGNED_OPS and random.random() < 0.5:
                     mag = -mag
-                img = _apply_pil_op(img, op, mag)
+                img = _apply_pil_op(img, op, mag, self.interpolation)
         data["image"] = img
         return data
 
@@ -677,8 +690,17 @@ class RandAugmentPIL(BaseTransformation):
         super().__init__(opts)
         self.n = int(getattr(opts, "image_augmentation.rand_augment.n", 2) or 2)
         self.m = int(getattr(opts, "image_augmentation.rand_augment.m", 9) or 9)
+        # apply-probability and geometric-op filter (reference
+        # image_pil.py:575 RandAugment flags)
+        self.p = float(getattr(opts, "image_augmentation.rand_augment.p", 1.0)
+                       if getattr(opts, "image_augmentation.rand_augment.p",
+                                  None) is not None else 1.0)
+        self.interpolation = getattr(
+            opts, "image_augmentation.rand_augment.interpolation", "bilinear")
 
     def __call__(self, data: Dict) -> Dict:
+        if self.p < 1.0 and random.random() > self.p:
+            return data
         img = _to_pil(data["image"])
         for op in random.choices(_TORCHVISION_RA_OPS, k=self.n):
             if op == "Identity":
@@ -686,7 +708,7 @@ class RandAugmentPIL(BaseTransformation):
             mag = _aa_magnitude(op, self.m)
             if op in _SIGNED_OPS and random.random() < 0.5:
                 mag = -mag
-            img = _apply_pil_op(img, op, mag)
+            img = _apply_pil_op(img, op, mag, self.interpolation)
         data["image"] = img
         return data
 
@@ -704,21 +726,32 @@ class TrivialAugmentWidePIL(BaseTransformation):
 
     def __init__(self, opts, **kwargs) -> None:
         super().__init__(opts)
+        # torchvision discretizes magnitudes into num_magnitude_bins
+        # (reference image_pil.py:664 forwards the flag to torchvision)
+        self.bins = int(getattr(
+            opts,
+            "image_augmentation.trivial_augment_wide.num_magnitude_bins", 31)
+            or 31)
+        self.interpolation = getattr(
+            opts, "image_augmentation.trivial_augment_wide.interpolation",
+            "bilinear")
 
     def __call__(self, data: Dict) -> Dict:
         img = _to_pil(data["image"])
         op = random.choice(_TORCHVISION_RA_OPS)
         if op != "Identity":
+            idx = random.randint(0, self.bins - 1)
+            frac = idx / max(self.bins - 1, 1)
             if op in self._WIDE:
-                mag = random.uniform(0.0, self._WIDE[op])
+                mag = self._WIDE[op] * frac
                 if op in _SIGNED_OPS and random.random() < 0.5:
                     mag = -mag
             elif op == "Posterize":
-                mag = 8 - random.randint(0, 6)
+                mag = 8 - int(round(6 * frac))
             elif op == "Solarize":
-                mag = random.uniform(0.0, 255.0)
+                mag = 255.0 * (1.0 - frac)
             else:
                 mag = 0.0
-            img = _apply_pil_op(img, op, mag)
+            img = _apply_pil_op(img, op, mag, self.interpolation)
         data["image"] = img
         return data

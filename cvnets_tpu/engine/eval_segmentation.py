@@ -33,8 +33,20 @@ def predict_and_save(opts, model, variables, image_np: np.ndarray,
         cmap = Colormap().get_color_map_list()
         pil = Image.fromarray(mask, mode="P")
         pil.putpalette(cmap)
-        pil.save(os.path.join(out_dir, f"{fname}_mask.png"))
-        if getattr(opts, "evaluation.segmentation.save_overlay_rgb_pred", False):
+        apply_cmap = getattr(
+            opts, "evaluation.segmentation.apply_color_map", False)
+        save_masks = getattr(opts, "evaluation.segmentation.save_masks", False)
+        overlay_pred = getattr(
+            opts, "evaluation.segmentation.save_overlay_rgb_pred", False)
+        # with no explicit selection keep the colored mask (our legacy default;
+        # the reference saves nothing unless a flag is set)
+        if apply_cmap or not (save_masks or overlay_pred):
+            pil.save(os.path.join(out_dir, f"{fname}_mask.png"))
+        if save_masks:
+            # raw label ids, no palette (reference draw_binary_masks :135)
+            Image.fromarray(mask, mode="L").save(
+                os.path.join(out_dir, f"{fname}_labels.png"))
+        if overlay_pred:
             w = getattr(opts, "evaluation.segmentation.overlay_mask_weight", 0.5)
             rgb = (image_np * 255).astype(np.uint8)
             colored = np.asarray(pil.convert("RGB"))

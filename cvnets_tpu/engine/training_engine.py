@@ -175,6 +175,29 @@ class Trainer:
                 batch_stats=jax.device_put(bs or {},
                                            replicated_sharding(self.mesh)))
             logger.info(f"Loaded finetune weights from {finetune}")
+            # optional separate EMA start point (reference
+            # utils/checkpoint_utils.py:428-444)
+            finetune_ema = getattr(opts, "common.finetune_ema", None)
+            if finetune_ema and self.state.ema_params is not None:
+                if finetune_ema.endswith((".pt", ".pth")):
+                    from cvnets_tpu.utils.torch_checkpoint_converter import (
+                        load_cvnets_checkpoint,
+                    )
+
+                    ema_params, _ = load_cvnets_checkpoint(
+                        opts, finetune_ema, jax.device_get(self.state.params),
+                        jax.device_get(self.state.batch_stats))
+                else:
+                    from cvnets_tpu.utils.checkpoint_utils import (
+                        load_model_weights,
+                    )
+
+                    ema_params, _ = load_model_weights(
+                        finetune_ema, jax.device_get(self.state.params),
+                        None, opts=opts)
+                self.state = self.state.replace(ema_params=jax.device_put(
+                    ema_params, replicated_sharding(self.mesh)))
+                logger.info(f"Loaded finetune EMA weights from {finetune_ema}")
 
         self.state, self.start_epoch, self.start_iteration, best = load_checkpoint(
             opts, self.state, self.save_dir

@@ -44,6 +44,15 @@ def linear_init(opts):
     )
 
 
+def group_linear_init(opts):
+    """GroupLinear weights use their own init flags (reference
+    init_utils.py:116-119)."""
+    return get_initializer(
+        getattr(opts, "model.layer.group_linear_init", "normal"),
+        getattr(opts, "model.layer.group_linear_init_std_dev", 0.01) or 0.01,
+    )
+
+
 def arguments_weight_init(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     group = parser.add_argument_group(title="Weight initialization arguments")
     group.add_argument("--model.layer.conv-init", type=str, default="kaiming_normal")

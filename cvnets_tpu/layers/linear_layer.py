@@ -8,7 +8,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cvnets_tpu.layers.dtype_utils import compute_dtype
-from cvnets_tpu.layers.init_utils import linear_init
+from cvnets_tpu.layers.init_utils import group_linear_init, linear_init
 
 
 class LinearLayer(nn.Module):
@@ -47,7 +47,8 @@ class GroupLinear(nn.Module):
         assert self.in_features % g == 0 and self.out_features % g == 0
         in_g = self.in_features // g
         out_g = self.out_features // g
-        w = self.param("weight", linear_init(self.opts), (g, in_g, out_g))
+        w = self.param("weight", group_linear_init(self.opts),
+                       (g, in_g, out_g))
         leading = x.shape[:-1]
         xg = x.reshape(*leading, g, in_g)
         y = jnp.einsum("...gi,gio->...go", xg, w)

@@ -31,6 +31,30 @@ SUPPORTED_NORM_FNS = [
 # mesh axis over which sync-BN statistics are reduced
 SYNC_BN_AXIS_NAME = "data"
 
+# param paths of any normalization layer's learnables (all our norm layers are
+# named "*norm*"; flax BN/LN/GN params are "scale"/"bias") — used by
+# build_optimizer to zero their updates when norms are frozen
+NORM_PARAM_FREEZE_REGEX = r"(^|/)[^/]*norm[^/]*/(scale|bias)$"
+
+
+class FrozenBatchNorm(nn.BatchNorm):
+    """BatchNorm pinned to its running statistics (torch ``m.eval()`` under
+    the reference's freeze_norm_layers, base_model.py:140-156). Call sites
+    still pass ``use_running_average=not training``; this ignores it, so the
+    running mean/var are used AND never updated. Param freezing
+    (requires_grad=False analog) is applied by build_optimizer via
+    NORM_PARAM_FREEZE_REGEX."""
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None):
+        return super().__call__(x, use_running_average=True)
+
+
+def norms_frozen(opts) -> bool:
+    """True when the current build context requested frozen norm layers
+    (set by get_model from model.<category>.freeze_batch_norm)."""
+    return bool(getattr(opts, "model.normalization.frozen", False))
+
 
 def get_normalization_layer(
     opts,
@@ -66,11 +90,13 @@ def get_normalization_layer(
     # fail under jit with "unbound axis name".
     if norm_type in ("batch_norm", "batch_norm_2d", "batch_norm_1d", "batch_norm_3d",
                      "sync_batch_norm"):
-        return nn.BatchNorm(momentum=flax_momentum, epsilon=eps,
-                            use_running_average=None, dtype=dt)
+        bn_cls = FrozenBatchNorm if norms_frozen(opts) else nn.BatchNorm
+        return bn_cls(momentum=flax_momentum, epsilon=eps,
+                      use_running_average=None, dtype=dt)
     if norm_type == "sync_batch_norm_fp32":
-        return nn.BatchNorm(momentum=flax_momentum, epsilon=eps,
-                            use_running_average=None, dtype=jnp.float32)
+        bn_cls = FrozenBatchNorm if norms_frozen(opts) else nn.BatchNorm
+        return bn_cls(momentum=flax_momentum, epsilon=eps,
+                      use_running_average=None, dtype=jnp.float32)
     if norm_type == "layer_norm":
         # reference LayerNorm on channel-first tensors normalizes over the channel
         # dim only (layer_norm.py:53-66) == trailing-axis LN in NHWC

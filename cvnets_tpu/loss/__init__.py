@@ -20,7 +20,6 @@ def add_loss_fn_arguments(parser: argparse.ArgumentParser) -> argparse.ArgumentP
         "--loss.category", type=str, default="classification",
         help="Loss function category (classification, segmentation, detection, ...)",
     )
-    group.add_argument("--loss.ignore-idx", type=int, default=-1)
     parser = BaseCriteria.add_arguments(parser)
     return LOSS_REGISTRY.all_arguments(parser)
 

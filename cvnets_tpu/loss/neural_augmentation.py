@@ -15,6 +15,7 @@ from typing import Any
 import jax.numpy as jnp
 
 from cvnets_tpu.loss import LOSS_REGISTRY
+from cvnets_tpu.utils import logger
 from cvnets_tpu.loss.base_criteria import BaseCriteria
 
 MAX_MSE = 65025.0  # mean((255 - 0)^2)
@@ -33,6 +34,13 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.
 class NeuralAugmentation(BaseCriteria):
     def __init__(self, opts, *args, **kwargs) -> None:
         super().__init__(opts)
+        # yaml values bypass argparse choices — validate here (reference
+        # neural_augmentation.py:55,130-136 supports psnr only)
+        metric = (getattr(opts, "loss.neural_augmentation.perceptual_metric",
+                          "psnr") or "psnr").lower()
+        if metric != "psnr":
+            logger.error(
+                f"Supported perceptual metrics: ['psnr']. Got: {metric}")
         target = getattr(opts, "loss.neural_augmentation.target_value", [40, 20])
         if isinstance(target, (int, float)):
             target = [target, target]

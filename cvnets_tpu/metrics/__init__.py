@@ -28,8 +28,6 @@ def arguments_stats(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                        help="Metric (optionally metric.submetric) used to rank checkpoints")
     group.add_argument("--stats.checkpoint-metric-max", action="store_true",
                        default=False)
-    group.add_argument("--stats.save-all-checkpoints", action="store_true",
-                       default=False)
     return parser
 
 

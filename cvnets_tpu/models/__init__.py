@@ -31,6 +31,13 @@ def get_model(
         model_name = getattr(opts, f"model.{category}.name")
     if model_name == "__base__":
         logger.error(f"For {category} task, model name can't be __base__.")
+    # reference freeze_norm_layers (base_model.py:140, called from enc_dec/
+    # base_detection/clip): norm layers pinned to running stats + no param
+    # updates. The internal model.normalization.frozen flag makes the norm
+    # factory emit FrozenBatchNorm and build_optimizer zero norm updates.
+    if getattr(opts, f"model.{category}.freeze_batch_norm", False):
+        setattr(opts, "model.normalization.frozen", True)
+        logger.info(f"Normalization layers are frozen ({category})")
     model = MODEL_REGISTRY[model_name, category].build_model(opts, *args, **kwargs)
     return model
 

@@ -87,6 +87,27 @@ class BaseImageEncoder(BaseAnyNNModel):
     #   {"conv1": {"in": 3, "out": C}, "layer1": {...}, ..., "exp_before_cls": {...},
     #    "cls": {...}}   (reference check_model, base_image_encoder.py:150)
 
+    def get_lr_multipliers(self, opts) -> Dict[str, float]:
+        """Layer-wise LR decay for every 5-stage encoder (reference exposes
+        the flags on the encoder base, base_image_encoder.py:303/322; ViT
+        overrides with its per-transformer-block schedule). Stage i of n gets
+        rate ** (n - i); the classifier stays at 1.0 — the finetuning
+        convention."""
+        if not getattr(opts, "model.classification.enable_layer_wise_lr_decay",
+                       False):
+            return {}
+        rate = getattr(opts, "model.classification.layer_wise_lr_decay_rate",
+                       1.0) or 1.0
+        if rate == 1.0:
+            return {}
+        stages = ["conv_1", "layer_1", "layer_2", "layer_3", "layer_4",
+                  "layer_5", "conv_1x1_exp"]
+        n = len(stages)
+        # list-valued stages flatten to scope names like "layer_2_0"; match
+        # both spellings without touching e.g. conv_1x1_exp from ^conv_1
+        return {rf"^{s}(?:/|_\d)": round(rate ** (n - i), 5)
+                for i, s in enumerate(stages)}
+
     # ----------------------------------------------------------------- forward
     def _stage(self, name: str):
         """Return the stage module, or None when the subclass omits it."""

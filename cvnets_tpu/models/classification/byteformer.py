@@ -154,8 +154,13 @@ class ByteFormer(BaseAnyNNModel):
                           "model.classification.byteformer.stochastic_dropout",
                           0.0) or 0.0
 
-        # padding (-1) -> mask; embed with the last vocab slot as mask token
-        mask = x < 0
+        # padding (configurable index, reference
+        # byteformer_collate_functions.py:105) -> mask; embed with the last
+        # vocab slot as mask token. Negatives are always padding.
+        pad_idx = getattr(
+            opts, "model.classification.byteformer.padding_index", -1)
+        pad_idx = -1 if pad_idx is None else pad_idx
+        mask = (x == pad_idx) | (x < 0)
         ids = jnp.where(mask, vocab_size - 1, x)
         table = self.param(
             "token_embedding",

@@ -75,8 +75,14 @@ class FastViT(BaseImageEncoder):
         cfg = get_configuration(opts)
         inference_mode = getattr(
             opts, "model.classification.fastvit.inference_mode", False)
+        # reference fastvit.py:135 names the rate `drop_path`; accept it as
+        # the primary spelling with stochastic_depth_prob as our alias
         sd_prob = getattr(
-            opts, "model.classification.fastvit.stochastic_depth_prob", 0.0) or 0.0
+            opts, "model.classification.fastvit.drop_path", None)
+        if sd_prob is None:
+            sd_prob = getattr(
+                opts, "model.classification.fastvit.stochastic_depth_prob", 0.0)
+        sd_prob = sd_prob or 0.0
         dropout = getattr(opts, "model.classification.fastvit.dropout", 0.0) or 0.0
         dims = cfg["embed_dims"]
         layers = cfg["layers"]

@@ -40,7 +40,7 @@ class RegNet(BaseImageEncoder):
         sd_prob = getattr(opts, "model.classification.regnet.stochastic_depth_prob",
                           0.0) or 0.0
 
-        stem = 32
+        stem = getattr(opts, "model.classification.regnet.stem_width", 32) or 32
         self.conv_1 = ConvLayer2d(opts=opts, out_channels=stem, kernel_size=3,
                                   stride=2, use_norm=True, use_act=True)
         conf = {"conv1": {"in": 3, "out": stem}}

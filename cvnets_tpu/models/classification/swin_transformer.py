@@ -83,6 +83,13 @@ class SwinTransformer(BaseImageEncoder):
 
     def _forward_stages(self, x, training) -> Dict[str, jnp.ndarray]:
         opts = self.opts
+        # unimplemented semantics must hard-error, not silently train a
+        # different model (all Swin norms here are LayerNorm)
+        norm_name = getattr(
+            opts, "model.classification.swin.norm_layer", "layer_norm")
+        if norm_name not in (None, "layer_norm"):
+            logger.error(
+                f"swin: only layer_norm is supported, got {norm_name}")
         cfg = get_configuration(opts)
         ps = cfg["patch_size"]
         # reference conv_1: bias-free patchify conv with the ConvLayer2d

@@ -17,7 +17,7 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from cvnets_tpu.layers.conv_layer import ConvLayer2d
+from cvnets_tpu.layers.conv_layer import ConvLayer2d, TransposeConvLayer2d
 from cvnets_tpu.layers.normalization import get_normalization_layer
 from cvnets_tpu.layers.positional_embedding import PositionalEmbedding
 from cvnets_tpu.models import MODEL_REGISTRY
@@ -102,7 +102,11 @@ class VisionTransformer(BaseImageEncoder):
 
         n_layers = cfg["n_transformer_layers"]
         block_cls = TransformerEncoder
-        if self.gradient_checkpointing:
+        # checkpoint_segments (reference vit.py:179: checkpoint_sequential
+        # over N segments) also turns on rematerialization; per-block remat is
+        # the math-identical, strictly-lower-memory XLA form
+        if self.gradient_checkpointing or getattr(
+                opts, "model.classification.vit.checkpoint_segments", 0):
             block_cls = nn.remat(TransformerEncoder, static_argnums=(5,))
         for i in range(n_layers):
             tokens = block_cls(
@@ -130,13 +134,38 @@ class VisionTransformer(BaseImageEncoder):
         logits = nn.Dense(self.n_classes, kernel_init=linear_init(opts),
                           dtype=compute_dtype(opts), name="classifier")(cls_embedding)
         if return_image_embeddings:
-            return logits, image_embedding.reshape(b, n_h, n_w, c)
+            emb = image_embedding.reshape(b, n_h, n_w, c)
+            if not getattr(opts, "model.classification.vit.use_simple_fpn",
+                           False):
+                return logits, emb
+            # ViTDet simple FPN (reference vit.py:194-199, 350-412): the
+            # stride-16 token grid fans out to strides 4/8/16/32 via deconvs
+            # and pooling — the multi-scale taps Mask R-CNN consumes
+            l2 = TransposeConvLayer2d(
+                opts=opts, out_channels=c // 2, kernel_size=2, stride=2,
+                use_norm=True, use_act=True, name="simple_fpn_l2_0",
+            )(emb, training=training)
+            l2 = TransposeConvLayer2d(
+                opts=opts, out_channels=c // 4, kernel_size=2, stride=2,
+                bias=True, use_norm=False, use_act=False,
+                name="simple_fpn_l2_1",
+            )(l2, training=training)
+            l3 = TransposeConvLayer2d(
+                opts=opts, out_channels=c // 2, kernel_size=2, stride=2,
+                bias=True, use_norm=False, use_act=False,
+                name="simple_fpn_l3",
+            )(emb, training=training)
+            l5 = nn.max_pool(emb, (2, 2), strides=(2, 2))
+            return logits, {"out_l2": l2, "out_l3": l3, "out_l4": emb,
+                            "out_l5": l5}
         return logits
 
     def extract_end_points_all(self, x, use_l5: bool = True, use_l5_exp: bool = False,
                                training: bool = False) -> Dict[str, jnp.ndarray]:
         _logits, image_embedding = self(x, training=training,
                                         return_image_embeddings=True)
+        if isinstance(image_embedding, dict):  # simple-FPN multi-scale taps
+            return image_embedding
         return {"out_l5": image_embedding}
 
     def get_lr_multipliers(self, opts) -> Dict[str, float]:

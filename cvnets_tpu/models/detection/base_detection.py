@@ -49,11 +49,16 @@ class BaseDetection(BaseAnyNNModel):
 
     @staticmethod
     def build_encoder(opts, output_stride: Optional[int] = None):
-        """Build the classification backbone named by model.classification.name."""
+        """Build the classification backbone named by model.classification.name.
+
+        --model.detection.output-stride dilates the backbone's last stages
+        (reference base_detection.py:109)."""
         from cvnets_tpu.models import get_model
 
+        if output_stride is None:
+            output_stride = getattr(opts, "model.detection.output_stride", None)
         kwargs = {}
-        if output_stride is not None:
+        if output_stride in (8, 16):
             kwargs["output_stride"] = output_stride
         return get_model(opts, category="classification", **kwargs)
 

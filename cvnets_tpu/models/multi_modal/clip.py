@@ -59,6 +59,21 @@ class CLIP(BaseMultiModalImageText):
             "logit_scale", lambda _k: jnp.asarray(np.log(1.0 / 0.07), jnp.float32)
         )
 
+    def get_lr_multipliers(self, opts):
+        """Per-tower LR multipliers (reference
+        base_multi_modal_img_text.py:21-25): regex over the param path ->
+        multiplier, consumed by build_optimizer."""
+        mults = {}
+        img = getattr(
+            opts, "model.multi_modal_image_text.lr_multiplier_img_encoder", 1.0)
+        txt = getattr(
+            opts, "model.multi_modal_image_text.lr_multiplier_text_encoder", 1.0)
+        if img and img != 1.0:
+            mults["^image_encoder/"] = float(img)
+        if txt and txt != 1.0:
+            mults["^text_encoder/"] = float(txt)
+        return mults
+
     def encode_image(self, image: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         feats = self.image_encoder.extract_features(image, training=training)
         feats = self.image_projection(feats, training=training)

@@ -109,6 +109,12 @@ class TextTransformer(BaseTextEncoder):
             (vocab_size, model_dim),
         )
         x = jnp.take(table, text, axis=0)
+        # torch nn.Embedding(padding_idx=...) semantics (reference
+        # text_encoders/transformer.py:55,81): the pad token contributes a
+        # zero vector and receives no gradient
+        pad_idx = getattr(opts, "dataset.padding_index", None)
+        if pad_idx is not None:
+            x = jnp.where((text == pad_idx)[..., None], 0.0, x)
         # NOTE: the reference computes embed_scale but its application is
         # commented out (reference transformer.py:334) — embeddings are NOT
         # scaled, regardless of --model.text.transformer.no-scale-embedding.
@@ -133,8 +139,14 @@ class TextTransformer(BaseTextEncoder):
             )
             attn_mask = causal_mask[None, None]
 
+        block_cls = TransformerEncoder
+        if getattr(opts, "model.text.transformer.gradient_checkpoint", False):
+            # reference transformer.py uses checkpoint_sequential with
+            # num_checkpoint_segments; per-block remat is math-identical with
+            # at-most-lower peak memory
+            block_cls = nn.remat(TransformerEncoder, static_argnums=(5,))
         for i in range(n_layers):
-            x = TransformerEncoder(
+            x = block_cls(
                 opts=opts, embed_dim=model_dim,
                 ffn_latent_dim=int(ffn_mults[i] * model_dim), num_heads=heads[i],
                 attn_dropout=getattr(opts, "model.text.transformer.attn_dropout", 0.0),
@@ -143,8 +155,7 @@ class TextTransformer(BaseTextEncoder):
                 transformer_norm_layer=getattr(
                     opts, "model.text.transformer.norm_layer", "layer_norm"),
                 name=f"transformer_{i}",
-            )(x, key_padding_mask=key_padding_mask, attn_mask=attn_mask,
-              training=training)
+            )(x, None, key_padding_mask, attn_mask, training)
         x = nn.LayerNorm(epsilon=1e-5, name="final_norm")(x)
 
         # features at EOT token = highest token id per sequence (CLIP convention)

@@ -216,6 +216,13 @@ def build_optimizer(
     # cvnets/misc/common.py:213 — requires_grad=False analog)
     freeze = getattr(opts, "model.freeze_modules", "") or ""
     freeze_patterns = [p.strip() for p in freeze.split(",") if p.strip()]
+    if getattr(opts, "model.normalization.frozen", False):
+        # freeze_batch_norm: norm scales/biases get no updates (reference
+        # base_model.py:152-154 requires_grad=False); forward-side pinning to
+        # running stats is done by FrozenBatchNorm
+        from cvnets_tpu.layers.normalization import NORM_PARAM_FREEZE_REGEX
+
+        freeze_patterns.append(NORM_PARAM_FREEZE_REGEX)
     if freeze_patterns:
         import re as _re
 

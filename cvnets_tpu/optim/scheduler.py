@@ -30,6 +30,16 @@ class BaseLRScheduler:
         warmup_init_lr = getattr(opts, "scheduler.warmup_init_lr", 1e-7)
         self.warmup_init_lr = warmup_init_lr if warmup_init_lr is not None else 1e-7
         self.warmup_step = None  # set by subclasses once max_lr known
+        # epoch-based schedulers shift their period past the warmup epochs so
+        # iteration- and epoch-based runs line up (reference
+        # base_scheduler.py:27-31); warmup_epochs tracks the last epoch seen
+        # while still inside warmup (reference cosine.py:66)
+        self.adjust_period = getattr(
+            opts, "scheduler.adjust_period_for_epochs", False)
+        self.warmup_epochs = 0
+
+    def _track_warmup_epoch(self, epoch: int) -> None:
+        self.warmup_epochs = epoch
 
     @classmethod
     def add_arguments(cls, parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
@@ -92,14 +102,19 @@ class CosineScheduler(BaseLRScheduler):
 
     def get_lr(self, epoch: int, curr_iter: int) -> float:
         if curr_iter < self.warmup_iterations:
+            self._track_warmup_epoch(epoch)
             return self._warmup_lr(curr_iter, self.max_lr)
         if self.is_iter_based:
-            adjust = curr_iter - self.warmup_iterations
+            adjust = min(max(curr_iter - self.warmup_iterations, 0), self.period)
+            period = self.period
         else:
-            adjust = epoch
-        adjust = min(max(adjust, 0), self.period)
+            # reference cosine.py:71-78 — deliberately unclamped: right after
+            # warmup the phase is negative and cos is even, so the reference
+            # restarts smoothly from max_lr
+            adjust = epoch - (self.warmup_epochs + 1 if self.adjust_period else 0)
+            period = self.period - (self.warmup_epochs if self.adjust_period else 0)
         return self.min_lr + 0.5 * (self.max_lr - self.min_lr) * (
-            1 + math.cos(math.pi * adjust / self.period)
+            1 + math.cos(math.pi * adjust / period)
         )
 
 
@@ -124,15 +139,20 @@ class PolynomialScheduler(BaseLRScheduler):
 
     def get_lr(self, epoch: int, curr_iter: int) -> float:
         if curr_iter < self.warmup_iterations:
+            self._track_warmup_epoch(epoch)
             return self._warmup_lr(curr_iter, self.start_lr)
+        # reference polynomial.py:65-79 — factor unclamped (briefly >start_lr
+        # right after warmup with adjust_period), final lr floored at 0
         if self.is_iter_based:
             factor = (curr_iter - self.warmup_iterations) / max(
-                self.max_iterations - self.warmup_iterations, 1
-            )
+                self.max_iterations, 1)
         else:
-            factor = epoch / max(self.max_epochs, 1)
-        factor = min(max(factor, 0.0), 1.0)
-        return (self.start_lr - self.end_lr) * ((1.0 - factor) ** self.power) + self.end_lr
+            adj_n = self.warmup_epochs + 1 if self.adjust_period else 0
+            adj_d = self.warmup_epochs if self.adjust_period else 0
+            factor = (epoch - adj_n) / max(self.max_epochs - adj_d, 1)
+        lr = (self.start_lr - self.end_lr) * ((1.0 - factor) ** self.power) \
+            + self.end_lr
+        return max(0.0, lr)
 
 
 @SCHEDULER_REGISTRY.register("multi_step")
@@ -202,7 +222,8 @@ def arguments_scheduler(parser: argparse.ArgumentParser) -> argparse.ArgumentPar
     group.add_argument("--scheduler.warmup-iterations", type=int, default=0)
     group.add_argument("--scheduler.warmup-init-lr", type=float, default=1e-7)
     group.add_argument("--scheduler.adjust-period-for-epochs", action="store_true",
-                       help="Config-compat flag")
+                       help="Epoch-based cosine/polynomial: shift the period "
+                            "past the warmup epochs (reference semantics)")
     return SCHEDULER_REGISTRY.all_arguments(parser)
 
 

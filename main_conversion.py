@@ -103,9 +103,23 @@ def main_worker_conversion(args: Optional[List[str]] = None):
     logger.info(f"Exported StableHLO module to {mlir_path} (+ serialized {bin_path})")
 
     # assertion check (reference utils/pytorch_to_coreml.py:97): the serialized
-    # artifact must reproduce the live model on a fresh random batch
-    x = np.random.default_rng(0).standard_normal(
-        dummy["samples"].shape).astype(np.float32)
+    # artifact must reproduce the live model — on the user-supplied image when
+    # --conversion.input-image-path is given (reference :36), else on a fresh
+    # random batch
+    img_path = getattr(opts, "conversion.input_image_path", None)
+    x = None
+    if img_path and os.path.isfile(img_path):
+        from PIL import Image
+
+        shape = dummy["samples"].shape
+        pil = Image.open(img_path).convert("RGB").resize(
+            (shape[2], shape[1]))
+        x = np.broadcast_to(
+            np.asarray(pil, np.float32)[None] / 255.0, shape).copy()
+        logger.info(f"Assertion check uses image {img_path}")
+    if x is None:
+        x = np.random.default_rng(0).standard_normal(
+            dummy["samples"].shape).astype(np.float32)
     with open(bin_path, "rb") as f:
         reloaded = jax_export.deserialize(f.read())
     got = np.asarray(reloaded.call(variables, x))

@@ -73,3 +73,68 @@ def test_byteformer_same_bucket_reuses_shape():
     b = byteformer_image_collate_fn(
         [{"samples": np.zeros(MIN_BUCKET - 1, np.int32), "targets": 0}])
     assert a["samples"].shape == b["samples"].shape == (1, MIN_BUCKET)
+
+
+def test_byteformer_image_collate_applies_byte_chain():
+    """Flag-gated byte transforms run inside the collate (reference
+    byteformer_collate_functions.py:46-51): pil_save turns float images into
+    JPEG file bytes; random_uniform perturbs them; disabled flags no-op."""
+    import numpy as np
+
+    from cvnets_tpu.data.collate.byteformer_collate_functions import (
+        byteformer_image_collate_fn,
+    )
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    rng = np.random.default_rng(0)
+    batch = [{"samples": rng.random((32, 32, 3)).astype(np.float32),
+              "targets": i} for i in range(2)]
+
+    opts = get_training_arguments(args=[
+        "--image-augmentation.pil-save.enable",
+        "--image-augmentation.pil-save.encoding", "jpeg",
+        "--image-augmentation.pil-save.quality", "60",
+    ])
+    out = byteformer_image_collate_fn([dict(b) for b in batch], opts)
+    seq = out["samples"][0]
+    real = seq[seq >= 0]
+    assert real[0] == 0xFF and real[1] == 0xD8  # JPEG SOI marker
+    assert out["samples"].shape[1] >= 256
+
+    # random_uniform on top changes the bytes (mod-256 wrap, padding intact)
+    opts2 = get_training_arguments(args=[
+        "--image-augmentation.pil-save.enable",
+        "--image-augmentation.pil-save.encoding", "jpeg",
+        "--image-augmentation.pil-save.quality", "60",
+        "--image-augmentation.random-uniform.enable",
+        "--image-augmentation.random-uniform.width-range", "-20", "20",
+    ])
+    np.random.seed(0)
+    out2 = byteformer_image_collate_fn([dict(b) for b in batch], opts2)
+    a, b = out["samples"], out2["samples"]
+    n = min(a.shape[1], b.shape[1])
+    assert (a[:, :n] != b[:, :n]).mean() > 0.5
+    assert ((b >= -1) & (b < 256)).all()
+
+
+def test_byteformer_audio_collate_serializes_waveform():
+    """torchaudio_save.enable serializes float waveforms to WAV bytes at
+    collate time (reference apply_torchaudio_save)."""
+    import numpy as np
+
+    from cvnets_tpu.data.collate.byteformer_collate_functions import (
+        byteformer_audio_collate_fn,
+    )
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    wave = np.sin(np.linspace(0, 40, 1600)).astype(np.float32)
+    batch = [{"samples": wave, "targets": 3}]
+    opts = get_training_arguments(args=[
+        "--audio-augmentation.torchaudio-save.enable",
+        "--audio-augmentation.torchaudio-save.format", "wav",
+        "--audio-augmentation.torchaudio-save.encoding-dtype", "int16",
+    ])
+    out = byteformer_audio_collate_fn(batch, opts)
+    seq = out["samples"][0]
+    real = seq[seq >= 0].astype(np.uint8)
+    assert bytes(real[:4]) == b"RIFF"

@@ -2,6 +2,7 @@
 compatibility (round-1 CLI surface diff vs the reference yamls)."""
 
 import numpy as np
+import pytest
 
 from cvnets_tpu.options.opts import get_training_arguments
 
@@ -286,3 +287,54 @@ def test_amsgrad_matches_torch(tmp_path):
             opt.step()
         np.testing.assert_allclose(ours, p.detach().numpy(), atol=2e-5,
                                    rtol=1e-4, err_msg=name)
+
+
+def test_layer_wise_lr_decay_all_encoders():
+    """--model.classification.enable-layer-wise-lr-decay works on every
+    5-stage encoder (VERDICT r1 #9): stage multipliers decay geometrically,
+    classifier stays at 1.0, and the optimizer scales updates accordingly."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.optim import build_optimizer
+
+    for name in ("resnet", "mobilevit_v2"):
+        opts = get_training_arguments(args=[
+            "--model.classification.name", name,
+            "--model.classification.n-classes", "10",
+            "--dataset.category", "classification",
+            "--model.classification.enable-layer-wise-lr-decay",
+            "--model.classification.layer-wise-lr-decay-rate", "0.5",
+            "--optim.name", "sgd", "--optim.sgd.momentum", "0",
+        ])
+        setattr(opts, "model.classification.mitv2.width_multiplier", 0.5)
+        model = get_model(opts)
+        mults = model.get_lr_multipliers(opts)
+        # earlier stages decay harder: stage i of n gets rate ** (n - i)
+        assert mults[r"^layer_1(?:/|_\d)"] / mults[r"^layer_2(?:/|_\d)"] \
+            == pytest.approx(0.5, rel=1e-3)
+        assert mults[r"^layer_4(?:/|_\d)"] / mults[r"^layer_5(?:/|_\d)"] \
+            == pytest.approx(0.5, rel=1e-3)
+
+        rng = jax.random.PRNGKey(0)
+        x = np.zeros((1, 32, 32, 3), np.float32)
+        variables = model.init({"params": rng, "dropout": rng},
+                               jnp.asarray(x), training=False)
+        params = variables["params"]
+        tx = build_optimizer(opts, lr_multipliers=mults)
+        state = tx.init(params)
+        state.hyperparams["learning_rate"] = jnp.asarray(1.0)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+
+        def first_leaf(tree, prefix):
+            key = next(k for k in sorted(tree) if k.startswith(prefix))
+            return float(jax.tree_util.tree_leaves(tree[key])[0].ravel()[0])
+
+        u2 = abs(first_leaf(updates, "layer_2"))
+        u5 = abs(first_leaf(updates, "layer_5"))
+        ucls = abs(first_leaf(updates, "classifier"))
+        assert u2 / u5 == pytest.approx(0.5 ** 3, rel=1e-3), name
+        assert ucls == pytest.approx(1.0, rel=1e-4), name

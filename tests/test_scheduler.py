@@ -85,3 +85,48 @@ def test_unknown_scheduler_rejected():
 
     with pytest.raises((LoggerError, SystemExit)):
         _build("bogus_scheduler")
+
+
+def test_adjust_period_for_epochs_matches_reference():
+    """Epoch-based cosine/polynomial with warmup: LR trajectory equals the
+    reference scheduler's when --scheduler.adjust-period-for-epochs is set
+    (reference optim/scheduler/{cosine.py:71-78, polynomial.py:73-75})."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from reference_interop import REFERENCE_ROOT, reference_available
+
+    if not reference_available():
+        pytest.skip("reference checkout unavailable")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from optim.scheduler.cosine import CosineScheduler as RefCosine
+    from optim.scheduler.polynomial import PolynomialScheduler as RefPoly
+
+    from cvnets_tpu.optim.scheduler import build_scheduler
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    iters_per_epoch = 7
+    for name, ref_cls in (("cosine", RefCosine), ("polynomial", RefPoly)):
+        opts = get_training_arguments(args=[
+            "--scheduler.name", name,
+            "--scheduler.max-epochs", "20",
+            "--scheduler.warmup-iterations", "20",  # ~3 epochs of warmup
+            "--scheduler.warmup-init-lr", "1e-6",
+            "--scheduler.adjust-period-for-epochs",
+            "--scheduler.cosine.max-lr", "0.4",
+            "--scheduler.cosine.min-lr", "0.01",
+            "--scheduler.polynomial.start-lr", "0.4",
+            "--scheduler.polynomial.end-lr", "0.01",
+        ])
+        setattr(opts, "scheduler.is_iteration_based", False)
+        ours = build_scheduler(opts)
+        ref = ref_cls(opts)
+        it = 0
+        for epoch in range(20):
+            for _ in range(iters_per_epoch):
+                got = ours.get_lr(epoch, it)
+                want = ref.get_lr(epoch=epoch, curr_iter=it)
+                assert got == pytest.approx(want, abs=1e-12), (
+                    name, epoch, it, got, want)
+                it += 1
