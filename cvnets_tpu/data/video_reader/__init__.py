@@ -15,9 +15,8 @@ VIDEO_READER_REGISTRY = Registry(
 def arguments_video_reader(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     group = parser.add_argument_group(title="Video reader arguments")
     group.add_argument("--video-reader.name", type=str, default="frame_folder")
-    group.add_argument("--video-reader.fast-video-decoding", action="store_true")
-    group.add_argument("--video-reader.frame-stack-format", type=str,
-                       default="sequence_first")
+    # per-reader flags (incl. the shared BaseAVReader set: frames-per-clip,
+    # fast-video-decoding, frame-stack-format, ...) come from the registry
     return VIDEO_READER_REGISTRY.all_arguments(parser)
 
 

@@ -155,6 +155,11 @@ class BaseAVReader:
         raise NotImplementedError
 
 
+# register the base for argument harvesting only (reference __base__
+# convention) — its flags (frames-per-clip etc.) must reach the parser
+VIDEO_READER_REGISTRY.register(name="__base__")(BaseAVReader)
+
+
 @VIDEO_READER_REGISTRY.register(name="frame_folder")
 class FrameFolderReader(BaseAVReader):
     """Reads a directory of ordered frame images as a video. A sidecar

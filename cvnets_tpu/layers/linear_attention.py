@@ -41,18 +41,18 @@ class LinearSelfAttention(nn.Module):
         init = conv_init(self.opts)
         dt = compute_dtype(self.opts)
 
+        qkv_proj = nn.Dense(1 + 2 * d, use_bias=self.bias, kernel_init=init,
+                            dtype=dt, name="qkv_proj")
         if x_prev is None:
-            qkv = nn.Dense(1 + 2 * d, use_bias=self.bias, kernel_init=init, dtype=dt,
-                           name="qkv_proj")(x)
+            qkv = qkv_proj(x)
             query, key, value = jnp.split(qkv, [1, 1 + d], axis=-1)
         else:
-            # cross-attn: q+k from x_prev-conditioned weights applied to x, value from x
-            # reference slices the qkv conv weights; equivalent: separate projections
-            qk = nn.Dense(1 + d, use_bias=self.bias, kernel_init=init, dtype=dt,
-                          name="qk_proj")(x_prev)
-            query, key = jnp.split(qk, [1], axis=-1)
-            value = nn.Dense(d, use_bias=self.bias, kernel_init=init, dtype=dt,
-                             name="v_proj")(x)
+            # cross-attn: query+key from x_prev, value from x, all through
+            # SLICES of the same fused qkv weights (reference
+            # _forward_cross_attn :163-207 slices the conv kernel) — so an
+            # image-pretrained checkpoint drops into the temporal model
+            query, key, _ = jnp.split(qkv_proj(x_prev), [1, 1 + d], axis=-1)
+            _, _, value = jnp.split(qkv_proj(x), [1, 1 + d], axis=-1)
 
         use_pallas = getattr(self.opts, "model.enable_pallas_kernels", True) \
             and self.attn_dropout == 0.0

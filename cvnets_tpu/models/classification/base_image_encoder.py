@@ -128,6 +128,42 @@ class BaseImageEncoder(BaseAnyNNModel):
             return nn.remat(_stage_call, static_argnums=(2,))(mod, x, training)
         return call_maybe_training(mod, x, training)
 
+    def extract_features_temporal(
+        self, x: jnp.ndarray, prev_patches=None, training: bool = False,
+    ):
+        """Temporal forward for video: every MobileViT block cross-attends to
+        the SAME block's previous-frame post-norm patches
+        (reference mobilevit_block.py forward_temporal :290-327/:628-662,
+        which has no caller in the reference tree — this is the model-level
+        routing for it). Returns (features, {block_key: patches}) so the
+        caller chains patches frame to frame."""
+        from cvnets_tpu.modules.mobilevit_block import (
+            MobileViTBlock,
+            MobileViTBlockv2,
+        )
+
+        prev = prev_patches or {}
+        new_patches = {}
+
+        def run(mod, h, key):
+            if mod is None:
+                return h
+            if isinstance(mod, (list, tuple)):
+                for k, m in enumerate(mod):
+                    h = run(m, h, f"{key}.{k}")
+                return h
+            if isinstance(mod, (MobileViTBlock, MobileViTBlockv2)):
+                h, p = mod(h, x_prev=prev.get(key), training=training,
+                           return_patches=True)
+                new_patches[key] = p
+                return h
+            return call_maybe_training(mod, h, training)
+
+        for name in ("conv_1", "layer_1", "layer_2", "layer_3", "layer_4",
+                     "layer_5", "conv_1x1_exp"):
+            x = run(self._stage(name), x, name)
+        return x, new_patches
+
     def extract_end_points_all(
         self,
         x: jnp.ndarray,

@@ -1,14 +1,17 @@
 """Spatio-temporal video classification (parity: reference MobileViTv1
 spatio-temporal Kinetics model, README-model-zoo.md:129; reference
-mobilevit_block.py forward_temporal :290).
+mobilevit_block.py forward_temporal :290-327 and :628-662).
 
-Any image encoder runs per frame (frames folded into the batch); MobileViT-family
-encoders get temporal mixing for free because the reference's spatio-temporal
-variant attends across the (frames × pixels-at-offset) token axis — here the frame
-axis folds into the patch token axis before the transformer, matching
-``forward_temporal``'s behavior of joint spatio-temporal attention. The classifier
-mean-pools frame embeddings before the linear head; multi-clip voting happens in
-the Evaluator (sum/max, reference evaluation_engine.py:166-180)."""
+MobileViT-family encoders run frame by frame through
+``extract_features_temporal``: each MobileViT block CROSS-ATTENDS to its own
+previous-frame post-norm patches (q from the current frame, k/v from the
+previous frame — the reference's temporal attention), so information flows
+along time through the patch tokens. Other encoders fall back to per-frame
+forwarding with frames folded into the batch (no temporal mixing — the
+reference defines temporal attention only for MobileViT blocks). The
+classifier mean-pools per-frame embeddings before the linear head; multi-clip
+voting happens in the Evaluator (sum/max, reference
+evaluation_engine.py:166-180)."""
 
 from __future__ import annotations
 
@@ -62,14 +65,31 @@ class SpatioTemporalEncoder(BaseVideoEncoder):
     def n_video_classes(self) -> int:
         return getattr(self.opts, "model.video_classification.n_classes", 400)
 
+    @property
+    def _temporal_encoder(self) -> bool:
+        name = getattr(self.opts, "model.classification.name", "") or ""
+        return "mobilevit" in name
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         """x: (B, T, H, W, C) single-clip input; clips fold in the Evaluator."""
         b, t = x.shape[:2]
-        frames = x.reshape((b * t,) + x.shape[2:])
-        feats = self.encoder.extract_features(frames, training=training)
-        feats = jnp.mean(feats, axis=(1, 2))  # (B*T, C)
-        feats = feats.reshape(b, t, -1).mean(axis=1)  # temporal average
+        if self._temporal_encoder:
+            # frame-recurrent temporal attention: block patches from frame
+            # t-1 are the cross-attention context at frame t (params shared
+            # across frames — one encoder, T applications)
+            prev = None
+            per_frame = []
+            for ti in range(t):
+                feats, prev = self.encoder.extract_features_temporal(
+                    x[:, ti], prev, training=training)
+                per_frame.append(jnp.mean(feats, axis=(1, 2)))  # (B, C)
+            feats = jnp.stack(per_frame, axis=1).mean(axis=1)
+        else:
+            frames = x.reshape((b * t,) + x.shape[2:])
+            feats = self.encoder.extract_features(frames, training=training)
+            feats = jnp.mean(feats, axis=(1, 2))  # (B*T, C)
+            feats = feats.reshape(b, t, -1).mean(axis=1)  # temporal average
         from cvnets_tpu.layers.dtype_utils import compute_dtype
         from cvnets_tpu.layers.init_utils import linear_init
 

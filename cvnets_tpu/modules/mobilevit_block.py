@@ -43,15 +43,42 @@ def fold_nhwc(patches: jnp.ndarray, out_hw: Tuple[int, int], ph: int, pw: int) -
     return x.reshape(b, h, w, c)
 
 
+def _bilinear_align_corners(x: jnp.ndarray, nh: int, nw: int) -> jnp.ndarray:
+    """Bilinear resize with torch ``align_corners=True`` semantics (corner
+    pixels map to corner pixels), as two small matmuls — exact and
+    MXU-friendly. jax.image.resize only offers half-pixel centers."""
+    b, h, w, c = x.shape
+    if (h, w) == (nh, nw):
+        return x
+
+    def axis_weights(src: int, dst: int) -> jnp.ndarray:
+        m = np.zeros((dst, src), np.float32)
+        if src == 1 or dst == 1:
+            m[:, 0] = 1.0
+            return jnp.asarray(m)
+        pos = np.arange(dst) * (src - 1) / (dst - 1)
+        i0 = np.floor(pos).astype(int)
+        i1 = np.minimum(i0 + 1, src - 1)
+        frac = (pos - i0).astype(np.float32)
+        m[np.arange(dst), i0] += 1.0 - frac
+        m[np.arange(dst), i1] += frac
+        return jnp.asarray(m)
+
+    wh = axis_weights(h, nh).astype(x.dtype)
+    ww = axis_weights(w, nw).astype(x.dtype)
+    return jnp.einsum("yh,bhwc,xw->byxc", wh, x, ww)
+
+
 def resize_to_patch_multiple(x: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-    """Bilinear-resize H/W up to the next patch multiple (reference
-    resize_input_if_needed :595); static under jit since shapes are trace-time."""
+    """Bilinear-resize H/W up to the next patch multiple with
+    align_corners=True (reference MobileViTBlockv2.resize_input_if_needed
+    :595-603); static under jit since shapes are trace-time."""
     b, h, w, c = x.shape
     if h % ph == 0 and w % pw == 0:
         return x
     nh = int(math.ceil(h / ph) * ph)
     nw = int(math.ceil(w / pw) * pw)
-    return jax.image.resize(x, (b, nh, nw, c), method="bilinear")
+    return _bilinear_align_corners(x, nh, nw)
 
 
 class MobileViTBlockv2(nn.Module):
@@ -85,7 +112,15 @@ class MobileViTBlockv2(nn.Module):
         return [int((dd // 16) * 16) for dd in dims]
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 x_prev: Optional[jnp.ndarray] = None,
+                 return_patches: bool = False):
+        """Spatial forward when ``x_prev`` is None (reference
+        forward_spatial :605); temporal forward when ``x_prev`` carries the
+        previous frame's post-norm patches (B, P, M, C) — every
+        LinearAttnFFN cross-attends to them (reference forward_temporal
+        :628-662). ``return_patches`` additionally returns the post-norm
+        patches to chain into the next frame."""
         x = resize_to_patch_multiple(x, self.patch_h, self.patch_w)
 
         # local representation
@@ -108,7 +143,7 @@ class MobileViTBlockv2(nn.Module):
                 ffn_latent_dim=ffn_dims[i], attn_dropout=self.attn_dropout,
                 dropout=self.dropout, ffn_dropout=self.ffn_dropout,
                 norm_layer=self.attn_norm_layer, name=f"global_rep_{i}",
-            )(patches, training=training)
+            )(patches, x_prev=x_prev, training=training)
         norm = get_normalization_layer(self.opts, norm_type=self.attn_norm_layer)
         if norm is not None:
             patches = norm.copy(name="global_norm")(patches)
@@ -118,6 +153,8 @@ class MobileViTBlockv2(nn.Module):
             opts=self.opts, out_channels=self.in_channels, kernel_size=1,
             use_norm=True, use_act=False, name="conv_proj",
         )(fm, training=training)
+        if return_patches:
+            return fm, patches
         return fm
 
 
@@ -143,8 +180,14 @@ class MobileViTBlock(nn.Module):
     transformer_norm_layer: str = "layer_norm"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        x = resize_to_patch_multiple(x, self.patch_h, self.patch_w)
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 x_prev: Optional[jnp.ndarray] = None,
+                 return_patches: bool = False):
+        """Spatial forward when ``x_prev`` is None (reference
+        forward_spatial :268); temporal forward when ``x_prev`` carries the
+        previous frame's post-norm tokens (B*P, M, C) — every transformer
+        layer cross-attends to them (reference forward_temporal :290-327).
+        ``return_patches`` additionally returns the post-norm tokens."""
         res = x
 
         fm = ConvLayer2d(
@@ -156,6 +199,18 @@ class MobileViTBlock(nn.Module):
             opts=self.opts, out_channels=self.transformer_dim, kernel_size=1,
             use_norm=False, use_act=False, bias=False, name="local_pw",
         )(fm, training=training)
+
+        # v1 resizes INSIDE unfold with align_corners=False and restores the
+        # original resolution after folding (reference unfolding :194-221,
+        # folding :260-262) — jax.image.resize bilinear is the same
+        # half-pixel convention as torch align_corners=False
+        bsz, orig_h, orig_w, _cc = fm.shape
+        interpolated = orig_h % self.patch_h != 0 or orig_w % self.patch_w != 0
+        if interpolated:
+            nh = int(math.ceil(orig_h / self.patch_h) * self.patch_h)
+            nw = int(math.ceil(orig_w / self.patch_w) * self.patch_w)
+            fm = jax.image.resize(fm, (bsz, nh, nw, fm.shape[-1]),
+                                  method="bilinear")
 
         patches, out_hw = unfold_nhwc(fm, self.patch_h, self.patch_w)
         b, p, n, c = patches.shape
@@ -171,13 +226,16 @@ class MobileViTBlock(nn.Module):
                 ffn_dropout=self.ffn_dropout,
                 transformer_norm_layer=self.transformer_norm_layer,
                 name=f"global_rep_{i}",
-            )(tokens, training=training)
+            )(tokens, x_prev, training=training)
         norm = get_normalization_layer(self.opts, norm_type=self.transformer_norm_layer)
         if norm is not None:
             tokens = norm.copy(name="global_norm")(tokens)
         patches = tokens.reshape(b, p, n, c)
 
         fm = fold_nhwc(patches, out_hw, self.patch_h, self.patch_w)
+        if interpolated:
+            fm = jax.image.resize(fm, (bsz, orig_h, orig_w, fm.shape[-1]),
+                                  method="bilinear")
         fm = ConvLayer2d(
             opts=self.opts, out_channels=self.in_channels, kernel_size=1,
             use_norm=True, use_act=True, name="conv_proj",
@@ -188,4 +246,6 @@ class MobileViTBlock(nn.Module):
                 kernel_size=self.conv_ksize, use_norm=True, use_act=True,
                 name="fusion",
             )(jnp.concatenate([res, fm], axis=-1), training=training)
+        if return_patches:
+            return fm, tokens
         return fm

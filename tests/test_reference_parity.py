@@ -574,3 +574,120 @@ def test_parity_efficientnet_b1():
     _run_parity(
         "efficientnet",
         ["--model.classification.efficientnet.mode", "b1"], hw=64, atol=5e-4)
+
+
+def _temporal_parity(model_name: str, extra_args: list, hw: int = 32,
+                     frames: int = 3, atol: float = 1e-4):
+    """forward_temporal parity (VERDICT r1 #4): chain a clip frame-by-frame
+    through MobileViT blocks with the previous frame's patches as the
+    cross-attention context, in BOTH frameworks, on converted weights."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.modules.mobilevit_block import (
+        MobileViTBlock,
+        MobileViTBlockv2,
+    )
+    from cvnets_tpu.options.opts import get_training_arguments
+    from cvnets_tpu.utils.torch_checkpoint_converter import (
+        convert_torch_checkpoint,
+    )
+
+    args = ["--model.classification.name", model_name,
+            "--model.classification.n-classes", "11",
+            "--dataset.category", "classification"] + extra_args
+    opts = get_training_arguments(args=args)
+    setattr(opts, "model.enable_pallas_kernels", False)
+
+    rng = np.random.default_rng(0)
+    clip = rng.standard_normal((1, frames, hw, hw, 3)).astype(np.float32) * 0.5
+
+    ref = build_reference_model(opts)
+    torch_state = {k: v.detach().numpy()
+                   for k, v in ref.state_dict().items()}
+
+    # ---- ours: extract_features_temporal chained over frames -------------
+    model = get_model(opts)
+    jrng = jax.random.PRNGKey(0)
+
+    def run_temporal(variables, clip_j):
+        prev = None
+        outs = []
+        for t in range(frames):
+            feats, prev = model.apply(
+                variables, clip_j[:, t], prev, False,
+                method=model.extract_features_temporal)
+            outs.append(feats)
+        return outs
+
+    # cross-attn reuses the fused qkv weights, so a single-frame init
+    # creates every parameter the temporal path touches
+    variables = model.init({"params": jrng, "dropout": jrng},
+                           jnp.asarray(clip[:, 0]), None, False,
+                           method=model.extract_features_temporal)
+    params, batch_stats, unmatched = convert_torch_checkpoint(
+        torch_state, variables["params"], variables.get("batch_stats"))
+    # the feature extractor does not touch the classifier head
+    residue = [u for u in unmatched if "classifier" not in u]
+    assert not residue, f"unconverted torch tensors: {residue[:5]}"
+    new_vars = dict(variables, params=params)
+    if batch_stats is not None and "batch_stats" in variables:
+        new_vars["batch_stats"] = batch_stats
+    ours = run_temporal(new_vars, jnp.asarray(clip))
+    ours = [np.asarray(o) for o in ours]
+
+    # ---- reference: manual frame-recurrent walk over the torch model -----
+    is_v2 = model_name == "mobilevit_v2"
+    ref.eval()
+
+    def ref_run(clip_t):
+        from cvnets.modules.mobilevit_block import (
+            MobileViTBlock as TorchV1,
+            MobileViTBlockv2 as TorchV2,
+        )
+
+        prev: dict = {}
+        outs = []
+        for t in range(frames):
+            x = clip_t[:, t]
+            new_prev: dict = {}
+            for sname in ("conv_1", "layer_1", "layer_2", "layer_3",
+                          "layer_4", "layer_5", "conv_1x1_exp"):
+                stage = getattr(ref, sname, None)
+                if stage is None:
+                    continue
+                children = (list(stage.children())
+                            if isinstance(stage, torch.nn.Sequential)
+                            else [stage])
+                for k, m in enumerate(children):
+                    key = f"{sname}.{k}"
+                    if isinstance(m, (TorchV1, TorchV2)):
+                        x, patches = m((x, prev.get(key)))
+                        new_prev[key] = patches
+                    else:
+                        x = m(x)
+            prev = new_prev
+            outs.append(x.detach().numpy())
+        return outs
+
+    with torch.no_grad():
+        clip_t = torch.tensor(clip).permute(0, 1, 4, 2, 3)
+        refs = ref_run(clip_t)
+
+    for t, (a, b) in enumerate(zip(ours, refs)):
+        b_nhwc = np.transpose(b, (0, 2, 3, 1))
+        assert np.abs(a - b_nhwc).max() < atol, (
+            t, float(np.abs(a - b_nhwc).max()))
+
+
+def test_temporal_parity_mobilevit_v2():
+    _temporal_parity("mobilevit_v2", [
+        "--model.classification.mitv2.width-multiplier", "0.5"])
+
+
+def test_temporal_parity_mobilevit_v1():
+    _temporal_parity("mobilevit", [
+        "--model.classification.mit.mode", "x_small",
+        "--model.activation.name", "swish"])
