@@ -41,7 +41,9 @@ class PILSave(BaseTransformation):
                            help="Reference flag name (image_bytes.py); wins "
                                 "over --image-augmentation.pil-save.encoding")
         group.add_argument("--image-augmentation.pil-save.encoding", type=str,
-                           default="jpeg", choices=["jpeg", "png", "tiff", "fcam"])
+                           default="jpeg",
+                           choices=["jpeg", "png", "tiff", "fcam",
+                                    "fCHW", "fHWC", "JPEG", "PNG", "TIFF"])
         group.add_argument("--image-augmentation.pil-save.quality", type=int,
                            default=100)
         return parser
@@ -50,10 +52,20 @@ class PILSave(BaseTransformation):
         from cvnets_tpu.data.transforms.image import _to_pil
 
         img = _to_pil(data["image"])
-        buf = io.BytesIO()
         fmt = self.file_encoding.upper()
+        if fmt in ("FCHW", "FHWC"):
+            # raw pixel-tensor "encodings" (reference image_bytes.py:84-87):
+            # uint8 pixels flattened channel-first / channel-last
+            arr = np.asarray(img, np.uint8)
+            if fmt == "FCHW":
+                arr = arr.transpose(2, 0, 1)
+            data["image"] = arr.reshape(-1).astype(np.int32)
+            return data
+        buf = io.BytesIO()
         if fmt == "JPEG":
             img.save(buf, format="JPEG", quality=self.quality)
+        elif fmt == "PNG":
+            img.save(buf, format="PNG", compress_level=0)
         else:
             img.save(buf, format=fmt)
         data["image"] = np.frombuffer(buf.getvalue(), np.uint8).astype(np.int32)

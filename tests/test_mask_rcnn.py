@@ -240,3 +240,185 @@ def test_mask_rcnn_overfit_rectangle_mask_iou():
     mi = float((pm * gt_mask_full).sum())
     mu = float(pm.sum() + gt_mask_full.sum() - mi)
     assert mi / mu > 0.5, f"mask IoU {mi/mu:.3f} <= 0.5"
+
+
+def test_detect_one_matches_numpy_reference():
+    """The compiled decode→score-filter→class-aware-NMS path agrees with a
+    direct numpy transcription of the torchvision postprocess semantics
+    (VERDICT r1 #3: no torchvision in env, so the oracle is an independent
+    implementation)."""
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.models.detection.utils.rcnn_utils import BBOX_XFORM_CLIP
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.detection.name", "mask_rcnn",
+        "--model.detection.n-classes", "4",
+        "--model.classification.name", "mobilenetv2",
+        "--dataset.category", "detection",
+    ])
+    n_det = 6
+    setattr(opts, "model.detection.mask_rcnn.detections_per_image", n_det)
+    setattr(opts, "model.detection.mask_rcnn.score_threshold", 0.05)
+    model = get_model(opts)
+
+    rng = np.random.default_rng(0)
+    n, c, img = 40, 4, 128
+    raw_scores = rng.normal(0, 2.0, (n, c)).astype(np.float32)
+    raw_deltas = rng.normal(0, 0.3, (n, c, 4)).astype(np.float32)
+    xy = rng.uniform(8, 80, (n, 2))
+    wh = rng.uniform(8, 40, (n, 2))
+    proposals = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+    labels, scores, boxes = jax.jit(
+        lambda s, d, p: model._detect_one(s, d, p, (img, img)))(
+        raw_scores, raw_deltas, proposals)
+    labels, scores, boxes = (np.asarray(labels), np.asarray(scores),
+                             np.asarray(boxes))
+
+    # ---- numpy oracle ---------------------------------------------------
+    e = np.exp(raw_scores - raw_scores.max(-1, keepdims=True))
+    sm = e / e.sum(-1, keepdims=True)
+    ww = np.array([10.0, 10.0, 5.0, 5.0])
+    pw = proposals[:, 2] - proposals[:, 0]
+    ph = proposals[:, 3] - proposals[:, 1]
+    pcx = proposals[:, 0] + 0.5 * pw
+    pcy = proposals[:, 1] + 0.5 * ph
+    dec = np.zeros((n, c, 4))
+    for ci in range(c):
+        dx, dy, dw, dh = (raw_deltas[:, ci, k] / ww[k] for k in range(4))
+        dw = np.minimum(dw, BBOX_XFORM_CLIP)
+        dh = np.minimum(dh, BBOX_XFORM_CLIP)
+        cx, cy = pcx + dx * pw, pcy + dy * ph
+        bw, bh = np.exp(dw) * pw, np.exp(dh) * ph
+        dec[:, ci] = np.stack([cx - bw / 2, cy - bh / 2,
+                               cx + bw / 2, cy + bh / 2], 1)
+    cand = []
+    for i in range(n):
+        for ci in range(1, c):
+            if sm[i, ci] > 0.05:
+                cand.append((float(sm[i, ci]), ci, dec[i, ci]))
+    cand.sort(key=lambda t: -t[0])
+
+    def iou(a, b):
+        ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+        ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / ua if ua > 0 else 0.0
+
+    kept = []
+    for s, ci, b in cand:
+        if len(kept) >= n_det:
+            break
+        if all(kc != ci or iou(b, kb) <= 0.5 for _s, kc, kb in kept):
+            kept.append((s, ci, b))
+
+    n_real = int((scores > 0).sum())
+    assert n_real == len(kept), (n_real, len(kept))
+    for k, (s, ci, b) in enumerate(kept):
+        assert scores[k] == pytest.approx(s, rel=1e-4)
+        assert labels[k] == ci
+        np.testing.assert_allclose(boxes[k], np.clip(b, 0, img),
+                                   rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_mask_rcnn_learns_on_synthetic_set():
+    """Multi-image convergence (VERDICT r1 #3): 16 synthetic rectangle scenes,
+    a few hundred steps — total loss must drop >5x and native mAP@0.50 on the
+    training set must exceed 0.5 through the real inference path."""
+    import optax
+
+    from cvnets_tpu.metrics.coco_map import compute_coco_map
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.models.detection.mask_rcnn import MAX_GT
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.detection.name", "mask_rcnn",
+        "--model.detection.n-classes", "3",
+        "--model.classification.name", "mobilenetv2",
+        "--dataset.category", "detection",
+    ])
+    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.25)
+    setattr(opts, "model.detection.mask_rcnn.pre_nms_top_n", 128)
+    setattr(opts, "model.detection.mask_rcnn.post_nms_top_n", 32)
+    setattr(opts, "model.detection.mask_rcnn.box_batch_per_image", 16)
+    setattr(opts, "model.detection.mask_rcnn.mask_positives", 8)
+    setattr(opts, "model.detection.mask_rcnn.detections_per_image", 4)
+    setattr(opts, "model.detection.mask_rcnn.score_threshold", 0.05)
+    model = get_model(opts)
+
+    im, n_img = 96, 16
+    rng_np = np.random.default_rng(0)
+    imgs = np.full((n_img, im, im, 3), -0.5, np.float32)
+    imgs += rng_np.normal(0, 0.05, imgs.shape).astype(np.float32)
+    boxes = np.zeros((n_img, MAX_GT, 4), np.float32)
+    labels = np.zeros((n_img, MAX_GT), np.int64)
+    masks = np.zeros((n_img, MAX_GT, im // 4, im // 4), np.float32)
+    gts = []
+    for i in range(n_img):
+        # one bright (class 1) or dark (class 2) rectangle per image
+        cls = 1 + int(rng_np.integers(2))
+        w, h = rng_np.integers(28, 48, 2)
+        x1 = int(rng_np.integers(4, im - w - 4))
+        y1 = int(rng_np.integers(4, im - h - 4))
+        x2, y2 = x1 + int(w), y1 + int(h)
+        imgs[i, y1:y2, x1:x2, :] = 1.5 if cls == 1 else -2.0
+        boxes[i, 0] = [x1, y1, x2, y2]
+        labels[i, 0] = cls
+        full = np.zeros((im, im), np.float32)
+        full[y1:y2, x1:x2] = 1.0
+        masks[i, 0] = full[::4, ::4]
+        gts.append({"boxes": boxes[i, :1].copy(),
+                    "labels": np.array([cls]),
+                    "iscrowd": np.array([0])})
+
+    batch = {"image": jnp.asarray(imgs),
+             "targets": {"box_coordinates": jnp.asarray(boxes),
+                          "box_labels": jnp.asarray(labels),
+                          "masks": jnp.asarray(masks)}}
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, batch, training=True)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, bstats, opt_state, key):
+        def loss_fn(p):
+            v = {"params": p, **({"batch_stats": bstats} if bstats else {})}
+            pred, mut = model.apply(v, batch, training=True,
+                                    mutable=["batch_stats"],
+                                    rngs={"dropout": key})
+            return sum(jnp.asarray(x) for x in pred["losses"].values()), mut
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, mut.get("batch_stats", bstats), opt_state, loss
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    losses = []
+    for i in range(250):
+        params, bstats, opt_state, loss = step(
+            params, bstats, opt_state, jax.random.fold_in(rng, i))
+        losses.append(float(loss))
+    first = float(np.mean(losses[:5]))
+    last = float(np.mean(losses[-5:]))
+    assert np.isfinite(last)
+    assert first / max(last, 1e-9) > 5.0, (first, last)
+
+    v = {"params": params, "batch_stats": bstats}
+    infer = jax.jit(lambda v, x: model.apply(v, x, training=False))
+    pred = infer(v, jnp.asarray(imgs))
+    dets = []
+    for i in range(n_img):
+        dets.append({
+            "boxes": np.asarray(pred["det_boxes"][i]),
+            "scores": np.asarray(pred["det_scores"][i]),
+            "labels": np.asarray(pred["det_labels"][i]),
+        })
+    res = compute_coco_map(dets, gts)
+    assert res["bbox_50"] > 0.5, res
