@@ -134,6 +134,41 @@ class SeparableConv2d(nn.Module):
         return x
 
 
+class BlockConvTranspose(nn.Module):
+    """Transposed conv with ``kernel == stride`` (non-overlapping output
+    blocks), computed as one einsum + depth-to-space instead of an
+    lhs-dilated convolution: ``out[·, s·i+di, s·j+dj, o] = Σ_c x[·,i,j,c] ·
+    K[di,dj,c,o]``. Numerically identical to ``nn.ConvTranspose`` with SAME
+    padding (same param tree: ``kernel`` (kh,kw,in,out), ``bias`` (out,)) but
+    both forward and backward are plain matmuls — MXU work on TPU, and no
+    rhs-dilated gradient conv, which XLA-CPU executes with a naive
+    quadratic loop (measured 33.6 s of a 42 s Mask R-CNN CI step)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (2, 2)
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        b, h, w, cin = x.shape
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, cin, self.features))
+        # flax/lax conv_transpose places kernel taps flipped within each
+        # output block: out[s·i+d] = x[i] · K[k-1-d]
+        kernel = kernel[::-1, ::-1]
+        y = jnp.einsum("bhwc,ijco->bhiwjo", x.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        y = y.reshape(b, h * kh, w * kw, self.features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class TransposeConvLayer2d(nn.Module):
     """Transposed conv (+norm+act); parity: reference TransposeConvLayer2d."""
 
@@ -148,16 +183,26 @@ class TransposeConvLayer2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        x = nn.ConvTranspose(
-            features=self.out_channels,
-            kernel_size=_pair(self.kernel_size),
-            strides=_pair(self.stride),
-            padding="SAME",
-            use_bias=self.bias,
-            kernel_init=conv_init(self.opts),
-            dtype=compute_dtype(self.opts),
-            name="conv",
-        )(x)
+        if _pair(self.kernel_size) == _pair(self.stride):
+            x = BlockConvTranspose(
+                features=self.out_channels,
+                kernel_size=_pair(self.kernel_size),
+                use_bias=self.bias,
+                kernel_init=conv_init(self.opts),
+                dtype=compute_dtype(self.opts),
+                name="conv",
+            )(x)
+        else:
+            x = nn.ConvTranspose(
+                features=self.out_channels,
+                kernel_size=_pair(self.kernel_size),
+                strides=_pair(self.stride),
+                padding="SAME",
+                use_bias=self.bias,
+                kernel_init=conv_init(self.opts),
+                dtype=compute_dtype(self.opts),
+                name="conv",
+            )(x)
         if self.use_norm:
             norm = get_normalization_layer(self.opts)
             if norm is not None:

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cvnets_tpu.layers.conv_layer import ConvLayer2d
+from cvnets_tpu.layers.conv_layer import BlockConvTranspose, ConvLayer2d
 from cvnets_tpu.layers.dtype_utils import compute_dtype
 from cvnets_tpu.layers.init_utils import linear_init
 from cvnets_tpu.ops.box_utils import box_iou
@@ -125,9 +125,11 @@ class MaskRCNNHeads(nn.Module):
                             norm_name=head_norm, use_act=True,
                             bias=head_norm is None,
                             name=f"mask_fcn{i + 1}")(x, training=training)
-        x = nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
-                             dtype=compute_dtype(self.opts),
-                             name="deconv")(x)
+        # 2x2-stride-2 transpose conv as einsum + depth-to-space (same param
+        # tree as nn.ConvTranspose; see BlockConvTranspose for why)
+        x = BlockConvTranspose(self.channels, (2, 2),
+                               dtype=compute_dtype(self.opts),
+                               name="deconv")(x)
         x = nn.relu(x)
         return ConvLayer2d(opts=self.opts, out_channels=self.n_classes,
                            kernel_size=1, use_norm=False, use_act=False, bias=True,
