@@ -336,22 +336,29 @@ def test_mask_rcnn_learns_on_synthetic_set():
     from cvnets_tpu.models.detection.mask_rcnn import MAX_GT
     from cvnets_tpu.options.opts import get_training_arguments
 
+    # ResNet backbone: XLA:CPU's grouped base-dilated conv (depthwise
+    # stride-2 backward) is pathologically slow, which made a MobileNetV2
+    # backbone take ~40 s/step on the 1-core CI host; plain convs are fast
+    # on both backends and the convergence claim is backbone-agnostic
     opts = get_training_arguments(args=[
         "--model.detection.name", "mask_rcnn",
         "--model.detection.n-classes", "3",
-        "--model.classification.name", "mobilenetv2",
+        "--model.classification.name", "resnet",
+        "--model.classification.resnet.depth", "18",
         "--dataset.category", "detection",
     ])
-    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.25)
-    setattr(opts, "model.detection.mask_rcnn.pre_nms_top_n", 128)
-    setattr(opts, "model.detection.mask_rcnn.post_nms_top_n", 32)
+    setattr(opts, "model.detection.mask_rcnn.pre_nms_top_n", 64)
+    setattr(opts, "model.detection.mask_rcnn.post_nms_top_n", 16)
     setattr(opts, "model.detection.mask_rcnn.box_batch_per_image", 16)
     setattr(opts, "model.detection.mask_rcnn.mask_positives", 8)
     setattr(opts, "model.detection.mask_rcnn.detections_per_image", 4)
     setattr(opts, "model.detection.mask_rcnn.score_threshold", 0.05)
+    # narrow FPN/head width: the convergence claim is width-agnostic and the
+    # mask/box-head convs dominate single-core CI step time quadratically
+    setattr(opts, "model.detection.mask_rcnn.fpn_out_channels", 64)
     model = get_model(opts)
 
-    im, n_img = 96, 16
+    im, n_img = 64, 8
     rng_np = np.random.default_rng(0)
     imgs = np.full((n_img, im, im, 3), -0.5, np.float32)
     imgs += rng_np.normal(0, 0.05, imgs.shape).astype(np.float32)
@@ -362,7 +369,7 @@ def test_mask_rcnn_learns_on_synthetic_set():
     for i in range(n_img):
         # one bright (class 1) or dark (class 2) rectangle per image
         cls = 1 + int(rng_np.integers(2))
-        w, h = rng_np.integers(28, 48, 2)
+        w, h = rng_np.integers(20, 36, 2)
         x1 = int(rng_np.integers(4, im - w - 4))
         y1 = int(rng_np.integers(4, im - h - 4))
         x2, y2 = x1 + int(w), y1 + int(h)
@@ -401,7 +408,7 @@ def test_mask_rcnn_learns_on_synthetic_set():
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
     losses = []
-    for i in range(250):
+    for i in range(180):
         params, bstats, opt_state, loss = step(
             params, bstats, opt_state, jax.random.fold_in(rng, i))
         losses.append(float(loss))
