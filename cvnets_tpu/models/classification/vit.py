@@ -102,11 +102,13 @@ class VisionTransformer(BaseImageEncoder):
 
         n_layers = cfg["n_transformer_layers"]
         block_cls = TransformerEncoder
-        # checkpoint_segments (reference vit.py:179: checkpoint_sequential
-        # over N segments) also turns on rematerialization; per-block remat is
-        # the math-identical, strictly-lower-memory XLA form
-        if self.gradient_checkpointing or getattr(
-                opts, "model.classification.vit.checkpoint_segments", 0):
+        # checkpoint_segments (reference vit.py:471-475) is consulted ONLY
+        # when gradient-checkpointing is enabled; per-block remat is the
+        # math-identical, strictly-lower-memory XLA form of its
+        # checkpoint_sequential-over-N-segments (so the segment count itself
+        # has no XLA analog beyond being >=1)
+        if self.gradient_checkpointing and getattr(
+                opts, "model.classification.vit.checkpoint_segments", 4):
             block_cls = nn.remat(TransformerEncoder, static_argnums=(5,))
         for i in range(n_layers):
             tokens = block_cls(
