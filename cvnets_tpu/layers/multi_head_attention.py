@@ -58,11 +58,29 @@ class MultiHeadAttention(nn.Module):
 
         b, nq, _ = q.shape
         nk = k.shape[1]
+        scale = hd**-0.5
+        # Fused flash-attention kernel (ops/pallas/mha_attn.py): consumes
+        # q/k/v pre-reshape in the (B, S, H·D) projection layout, and the
+        # (S, S) attention matrix never leaves VMEM. Eligible whenever the
+        # probs are not needed in HBM (no dropout on them), the mask is a key
+        # mask, and the tiles fit the kernel's VMEM budget.
+        from cvnets_tpu.ops.pallas.mha_attn import (
+            fused_attention_eligible,
+            fused_mha_attention,
+        )
+
+        if (attn_mask is None and nq == nk
+                and (self.attn_dropout == 0 or not training)
+                and fused_attention_eligible(nq, d)):
+            km = None
+            if key_padding_mask is not None:
+                km = jnp.where(key_padding_mask, -1e30, 0.0)
+            out = fused_mha_attention(q * scale, k, v, h, km)
+            return nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init,
+                            dtype=dt, name="out_proj")(out)
         q = q.reshape(b, nq, h, hd)
         k = k.reshape(b, nk, h, hd)
         v = v.reshape(b, nk, h, hd)
-
-        scale = hd**-0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
         if attn_mask is not None:
             logits = logits + attn_mask

@@ -95,3 +95,100 @@ def test_mobilevitv2_with_kernel_flag_parity():
         outs[flag] = model.apply(v, x, training=False)
     np.testing.assert_allclose(np.asarray(outs[True]), np.asarray(outs[False]),
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------- MHA kernel
+
+def _mha_qkv(b=3, s=197, h=4, d=64, dtype=jnp.float32, seed=0, masked=True):
+    rng = np.random.default_rng(seed)
+    e = h * d
+    q = jnp.asarray(rng.standard_normal((b, s, e)) * 0.3, dtype)
+    k = jnp.asarray(rng.standard_normal((b, s, e)) * 0.3, dtype)
+    v = jnp.asarray(rng.standard_normal((b, s, e)), dtype)
+    km = (jnp.where(jnp.asarray(rng.random((b, s))) < 0.2, -1e30, 0.0)
+          if masked else None)
+    return q, k, v, km
+
+
+def _mha_gold(q, k, v, h, km):
+    b, s, e = q.shape
+    qh, kh, vh = (t.reshape(b, s, h, e // h) for t in (q, k, v))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
+    if km is not None:
+        logits = logits + km[:, None, None, :]
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(b, s, e)
+
+
+def test_mha_forward_and_vjp_match_reference():
+    """Reference (off-TPU) path of fused_mha_attention vs plain einsum."""
+    from cvnets_tpu.ops.pallas.mha_attn import fused_mha_attention
+
+    for masked in (True, False):
+        q, k, v, km = _mha_qkv(masked=masked)
+        out = fused_mha_attention(q, k, v, 4, km)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(_mha_gold(q, k, v, 4, km)),
+                                   atol=1e-5)
+        g1 = jax.grad(lambda *t: jnp.sum(
+            fused_mha_attention(*t, 4, km) ** 2), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda *t: jnp.sum(
+            _mha_gold(*t, 4, km) ** 2), argnums=(0, 1, 2))(q, k, v)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=1e-4, rtol=1e-4)
+
+
+def test_mha_pallas_kernels_interpret_mode():
+    """The actual fwd AND bwd Pallas kernels under the CPU interpreter,
+    including odd sequence lengths (no padding path) and 64-lane head
+    slices at unaligned offsets."""
+    import cvnets_tpu.ops.pallas.mha_attn as M
+
+    q, k, v, km = _mha_qkv(b=2, s=53, h=3, d=64)
+    try:
+        M._INTERPRET = True
+        out = M.fused_mha_attention(q, k, v, 3, km)
+        g1 = jax.grad(lambda *t: jnp.sum(
+            M.fused_mha_attention(*t, 3, km) ** 2), argnums=(0, 1, 2))(q, k, v)
+    finally:
+        M._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_mha_gold(q, k, v, 3, km)),
+                               atol=1e-5)
+    g2 = jax.grad(lambda *t: jnp.sum(
+        _mha_gold(*t, 3, km) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_mha_layer_routes_through_fused_kernel():
+    """MultiHeadAttention output is unchanged by the fused path (CPU reference)
+    and ineligible cases (attn_mask / long seq) still work."""
+    import flax.linen as nn
+
+    from cvnets_tpu.layers.multi_head_attention import MultiHeadAttention
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.classification.name", "vit",
+        "--dataset.category", "classification"])
+    mha = MultiHeadAttention(opts=opts, embed_dim=64, num_heads=4)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 37, 64)),
+                    jnp.float32)
+    variables = mha.init({"params": rng}, x)
+    y = mha.apply(variables, x)
+    assert np.isfinite(np.asarray(y)).all()
+    # attn_mask forces the einsum path; outputs must agree (zero mask)
+    zero_mask = jnp.zeros((1, 1, 37, 37))
+    y2 = mha.apply(variables, x, attn_mask=zero_mask)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
+    # boolean key padding mask reaches the kernel as an additive mask
+    kpm = jnp.zeros((2, 37), bool).at[:, 30:].set(True)
+    y3 = mha.apply(variables, x, key_padding_mask=kpm)
+    neg = jnp.finfo(jnp.float32).min
+    y4 = mha.apply(variables, x, key_padding_mask=kpm,
+                   attn_mask=jnp.zeros((1, 1, 37, 37)))
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y4), atol=1e-5)
