@@ -37,6 +37,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 try:
     from jax.experimental import pallas as pl
@@ -166,6 +168,53 @@ def _pallas_bwd(q, k, v, mask, out, do, heads):
     )(q, k, v, mask, out, do)
 
 
+# --- GSPMD partitioning -----------------------------------------------------
+# A bare pallas_call is an opaque custom call to GSPMD: with a batch-sharded
+# input it inserts an all-gather and runs the kernel replicated (measured on
+# an 8-device mesh). custom_partitioning declares the batch dim shardable and
+# S/E replicated, so each device runs the kernel on its local batch shard —
+# the data-parallel train step stays collective-free through attention.
+
+
+def _batch_axis(arg_infos):
+    spec = arg_infos[0].sharding.spec
+    return spec[0] if len(spec) else None
+
+
+def _sharded_fwd_partition(heads, mesh, arg_infos, result_infos):
+    sh = NamedSharding(mesh, PartitionSpec(_batch_axis(arg_infos), None, None))
+
+    def lower(q, k, v, mask):
+        return _pallas_fwd(q, k, v, mask, heads)
+
+    return mesh, lower, sh, (sh, sh, sh, sh)
+
+
+def _sharded_bwd_partition(heads, mesh, arg_infos, result_infos):
+    sh = NamedSharding(mesh, PartitionSpec(_batch_axis(arg_infos), None, None))
+
+    def lower(q, k, v, mask, out, do):
+        return _pallas_bwd(q, k, v, mask, out, do, heads)
+
+    return mesh, lower, (sh, sh, sh), (sh,) * 6
+
+
+_fwd_sharded = custom_partitioning(_pallas_fwd, static_argnums=(4,))
+_fwd_sharded.def_partition(
+    partition=_sharded_fwd_partition,
+    sharding_rule="b s e, b s e, b s e, b u s -> b s e",
+    need_replication_factors=("s", "e", "u"),
+)
+
+_bwd_sharded = custom_partitioning(_pallas_bwd, static_argnums=(6,))
+_bwd_sharded.def_partition(
+    partition=_sharded_bwd_partition,
+    sharding_rule=("b s e, b s e, b s e, b u s, b s e, b s e"
+                   " -> b s e, b s e, b s e"),
+    need_replication_factors=("s", "e", "u"),
+)
+
+
 def _split_heads(x, heads):
     b, s, e = x.shape
     return x.reshape(b, s, heads, e // heads)
@@ -184,6 +233,11 @@ def _reference(q, k, v, mask, heads):
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _attn_core(q, k, v, mask, heads):
     if _use_pallas():
+        # custom_partitioning resolves its partition callback at compile
+        # time, which remote-compile relays (axon) cannot serve — route
+        # through it only when >1 device makes partitioning meaningful
+        if len(jax.devices()) > 1:
+            return _fwd_sharded(q, k, v, mask, heads)
         return _pallas_fwd(q, k, v, mask, heads)
     return _reference(q, k, v, mask, heads)
 
@@ -196,7 +250,10 @@ def _attn_fwd(q, k, v, mask, heads):
 def _attn_bwd(heads, res, g):
     q, k, v, mask, out = res
     if _use_pallas():
-        dq, dk, dv = _pallas_bwd(q, k, v, mask, out, g, heads)
+        if len(jax.devices()) > 1:
+            dq, dk, dv = _bwd_sharded(q, k, v, mask, out, g, heads)
+        else:
+            dq, dk, dv = _pallas_bwd(q, k, v, mask, out, g, heads)
         return dq, dk, dv, None
     # XLA fallback: identical flash-style backward in einsum form
     qh, kh, vh, gh, oh = (_split_heads(t.astype(jnp.float32), heads)

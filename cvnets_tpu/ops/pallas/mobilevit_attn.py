@@ -73,11 +73,41 @@ def _reference_forward(q, k, v):
     return jnp.maximum(v, 0) * ctx
 
 
+# A bare pallas_call is an opaque custom call to GSPMD: with a batch-sharded
+# input it inserts an all-gather and runs replicated. custom_partitioning
+# declares the (batch·patch) dim shardable and N/C replicated so each device
+# runs the kernel on its local shard (see mha_attn.py for the measurement).
+def _sharded_partition(mesh, arg_infos, result_infos):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = arg_infos[0].sharding.spec
+    bax = spec[0] if len(spec) else None
+    sh = NamedSharding(mesh, PartitionSpec(bax, None, None))
+    return mesh, _pallas_forward, sh, (sh, sh, sh)
+
+
+try:
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    _pallas_forward_sharded = custom_partitioning(_pallas_forward)
+    _pallas_forward_sharded.def_partition(
+        partition=_sharded_partition,
+        sharding_rule="p n o, p n c, p n c -> p n c",
+        need_replication_factors=("n", "c", "o"),
+    )
+except Exception:  # pragma: no cover
+    _pallas_forward_sharded = _pallas_forward
+
+
 @jax.custom_vjp
 def separable_attention_core(q: jnp.ndarray, k: jnp.ndarray,
                              v: jnp.ndarray) -> jnp.ndarray:
     """Fused separable attention core; falls back to XLA off-TPU."""
     if _PALLAS_OK and jax.default_backend() == "tpu":
+        # see mha_attn.py: cp's compile-time callback cannot cross the
+        # remote-compile relay; single-device needs no partitioning anyway
+        if len(jax.devices()) > 1:
+            return _pallas_forward_sharded(q, k, v)
         return _pallas_forward(q, k, v)
     return _reference_forward(q, k, v)
 

@@ -192,3 +192,33 @@ def test_mha_layer_routes_through_fused_kernel():
     y4 = mha.apply(variables, x, key_padding_mask=kpm,
                    attn_mask=jnp.zeros((1, 1, 37, 37)))
     np.testing.assert_allclose(np.asarray(y3), np.asarray(y4), atol=1e-5)
+
+
+def test_mha_kernel_partitions_over_data_axis():
+    """Under GSPMD a bare pallas_call all-gathers a batch-sharded input; the
+    custom_partitioning wrapper must keep the batch dim sharded with NO
+    collectives in fwd or bwd (8-device CPU mesh, interpreter kernels)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import cvnets_tpu.ops.pallas.mha_attn as M
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    b, s, h, d = 16, 53, 3, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, s, h * d)) * 0.3, jnp.float32)
+    qs = jax.device_put(q, NamedSharding(mesh, P("data")))
+    try:
+        M._INTERPRET = True
+        f = jax.jit(lambda q: M.fused_mha_attention(q, q, q, h))
+        out = f(qs)
+        assert "all-gather" not in f.lower(qs).compile().as_text()
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(f(q)))
+        g = jax.jit(jax.grad(
+            lambda q: jnp.sum(M.fused_mha_attention(q, q, q, h) ** 2)))
+        assert "all-gather" not in g.lower(qs).compile().as_text()
+        np.testing.assert_array_equal(np.asarray(g(qs)), np.asarray(g(q)))
+    finally:
+        M._INTERPRET = False
