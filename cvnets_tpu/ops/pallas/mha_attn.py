@@ -26,8 +26,10 @@ folded into dO:
     dK = dS^T·Q,  dV = E^T·(dO/l)
 
 Key-padding masks enter as one additive f32 (B, 1, S) mask on the logits.
-VMEM bounds eligibility: sequences past ``_MAX_SEQ`` (long ByteFormer
-configs) fall back to the XLA einsum path.
+VMEM bounds eligibility for the single-tile kernel: sequences past
+``_MAX_SEQ`` (Mask R-CNN ViT backbones at 1024², long ByteFormer configs)
+route to the KV-blocked online-softmax kernel in ``mha_attn_long.py``; only
+shapes neither kernel can tile fall back to the XLA einsum path.
 """
 
 from __future__ import annotations
@@ -275,8 +277,14 @@ _attn_core.defvjp(_attn_fwd, _attn_bwd)
 
 
 def fused_attention_eligible(seq: int, embed: int) -> bool:
-    """True when the (S, S) tile + (S, H·D) operands fit the VMEM budget."""
-    return seq <= _MAX_SEQ and embed <= _MAX_EMBED
+    """True when a Pallas attention kernel can tile the shape: either the
+    single-tile kernel (S ≤ ``_MAX_SEQ``) or the KV-blocked long-sequence
+    kernel (S divisible by a block that fits VMEM)."""
+    if seq <= _MAX_SEQ and embed <= _MAX_EMBED:
+        return True
+    from cvnets_tpu.ops.pallas import mha_attn_long
+
+    return mha_attn_long.long_attention_eligible(seq, embed)
 
 
 def fused_mha_attention(
@@ -292,4 +300,10 @@ def fused_mha_attention(
         mask = jnp.zeros((b, 1, s), jnp.float32)
     else:
         mask = key_mask.astype(jnp.float32).reshape(b, 1, s)
+    if s > _MAX_SEQ and _use_pallas():
+        from cvnets_tpu.ops.pallas import mha_attn_long
+
+        if mha_attn_long.long_attention_eligible(
+                s, e, jnp.dtype(q.dtype).itemsize):
+            return mha_attn_long.attn_core_long(q, k, v, mask, heads)
     return _attn_core(q, k, v, mask, heads)

@@ -222,3 +222,108 @@ def test_mha_kernel_partitions_over_data_axis():
         np.testing.assert_array_equal(np.asarray(g(qs)), np.asarray(g(q)))
     finally:
         M._INTERPRET = False
+
+
+# ----------------------------------------------------- long-sequence MHA
+
+def test_mha_long_kernel_block_choice():
+    """Block picker: largest 512/256/128 divisor under the VMEM budget; shapes
+    no block tiles (indivisible S, oversized E) are ineligible."""
+    from cvnets_tpu.ops.pallas.mha_attn_long import (
+        choose_block,
+        long_attention_eligible,
+    )
+
+    assert choose_block(4096, 768, 4) == 256   # ViT-B @1024²: 512 over budget
+    assert choose_block(1024, 192, 4) == 512
+    assert choose_block(384, 128, 4) == 128
+    assert choose_block(1000, 128, 4) is None  # not divisible by any block
+    assert not long_attention_eligible(4096, 2048)  # embed cap
+
+
+def test_mha_long_kernel_interpret_mode():
+    """KV-blocked fwd + two-kernel bwd under the CPU interpreter vs einsum,
+    with a multi-block grid (S=384 → 3 kv blocks of 128)."""
+    import cvnets_tpu.ops.pallas.mha_attn as M
+    from cvnets_tpu.ops.pallas.mha_attn_long import attn_core_long
+
+    for masked in (True, False):
+        q, k, v, km = _mha_qkv(b=2, s=384, h=2, d=64, masked=masked)
+        mask = (jnp.zeros((2, 1, 384), jnp.float32) if km is None
+                else km.reshape(2, 1, 384).astype(jnp.float32))
+        try:
+            M._INTERPRET = True
+            out = attn_core_long(q, k, v, mask, 2)
+            g1 = jax.grad(lambda *t: jnp.sum(
+                attn_core_long(*t, mask, 2) ** 2), argnums=(0, 1, 2))(q, k, v)
+        finally:
+            M._INTERPRET = False
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(_mha_gold(q, k, v, 2, km)),
+                                   atol=1e-5)
+        g2 = jax.grad(lambda *t: jnp.sum(
+            _mha_gold(*t, 2, km) ** 2), argnums=(0, 1, 2))(q, k, v)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=1e-4, rtol=1e-4)
+
+
+def test_mha_long_kernel_dispatch():
+    """fused_mha_attention routes S > _MAX_SEQ to the blocked kernel when the
+    Pallas path is live, and the result matches the einsum reference."""
+    import cvnets_tpu.ops.pallas.mha_attn as M
+    import cvnets_tpu.ops.pallas.mha_attn_long as L
+
+    q, k, v, km = _mha_qkv(b=2, s=640, h=2, d=64)
+    calls = []
+    real = L.attn_core_long
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    try:
+        M._INTERPRET = True
+        L.attn_core_long = spy
+        out = M.fused_mha_attention(q, k, v, 2, km)
+    finally:
+        M._INTERPRET = False
+        L.attn_core_long = real
+    assert calls, "long kernel was not dispatched for S=640"
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_mha_gold(q, k, v, 2, km)),
+                               atol=1e-5)
+    # layer-level eligibility now includes blocked shapes
+    assert M.fused_attention_eligible(4096, 768)
+    assert not M.fused_attention_eligible(1000, 768)
+
+
+def test_mha_long_kernel_partitions_over_data_axis():
+    """Batch-sharded inputs stay sharded through the blocked kernel (no
+    all-gather in fwd or bwd) on the 8-device CPU mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import cvnets_tpu.ops.pallas.mha_attn as M
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    b, s, h, d = 8, 640, 2, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, s, h * d)) * 0.3, jnp.float32)
+    qs = jax.device_put(q, NamedSharding(mesh, P("data")))
+    try:
+        M._INTERPRET = True
+        f = jax.jit(lambda q: M.fused_mha_attention(q, q, q, h))
+        out = f(qs)
+        assert "all-gather" not in f.lower(qs).compile().as_text()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(f(q)),
+                                   atol=1e-6)
+        g = jax.jit(jax.grad(
+            lambda q: jnp.sum(M.fused_mha_attention(q, q, q, h) ** 2)))
+        assert "all-gather" not in g.lower(qs).compile().as_text()
+        np.testing.assert_allclose(np.asarray(g(qs)), np.asarray(g(q)),
+                                   rtol=1e-5, atol=1e-4)
+    finally:
+        M._INTERPRET = False
