@@ -111,7 +111,10 @@ class Trainer:
         dummy = model.dummy_input_and_label(2)
         self.state = create_train_state(model, self.tx, rng, dummy,
                                         ema_enabled=self.ema_enabled)
-        self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
+        # placement: replicated by default; --dev.fsdp and/or a >1 'model' mesh
+        # axis shard params + optimizer moments + EMA per parallel/sharding_rules
+        self.fsdp = bool(getattr(opts, "dev.fsdp", False))
+        self.state = self._place_state(self.state)
         self.rng = rng
         if self.is_master_node:
             from cvnets_tpu.models.base_model import count_parameters, forward_flops
@@ -170,10 +173,8 @@ class Trainer:
                 params, bs = load_model_weights(
                     finetune, jax.device_get(self.state.params),
                     jax.device_get(self.state.batch_stats), opts=opts)
-            self.state = self.state.replace(
-                params=jax.device_put(params, replicated_sharding(self.mesh)),
-                batch_stats=jax.device_put(bs or {},
-                                           replicated_sharding(self.mesh)))
+            self.state = self._place_state(self.state.replace(
+                params=jax.device_get(params), batch_stats=bs or {}))
             logger.info(f"Loaded finetune weights from {finetune}")
             # optional separate EMA start point (reference
             # utils/checkpoint_utils.py:428-444)
@@ -195,13 +196,14 @@ class Trainer:
                     ema_params, _ = load_model_weights(
                         finetune_ema, jax.device_get(self.state.params),
                         None, opts=opts)
-                self.state = self.state.replace(ema_params=jax.device_put(
-                    ema_params, replicated_sharding(self.mesh)))
+                self.state = self._place_state(
+                    self.state.replace(ema_params=jax.device_get(ema_params)))
                 logger.info(f"Loaded finetune EMA weights from {finetune_ema}")
 
         self.state, self.start_epoch, self.start_iteration, best = load_checkpoint(
             opts, self.state, self.save_dir
         )
+        self.state = self._place_state(self.state)
         if best is not None:
             self.ckpt_manager.best_metric = best
         self.start_epoch = max(self.start_epoch, start_epoch)
@@ -238,6 +240,18 @@ class Trainer:
         self._eval_step_ema = jax.jit(
             make_eval_step(model, criteria, val_metrics, use_ema=True)
         )
+
+    # ------------------------------------------------------------------ state
+    def _place_state(self, state):
+        """Place the TrainState on the mesh: FSDP/TP shardings when enabled,
+        plain replication otherwise (pure DP, the reference's only mode)."""
+        from cvnets_tpu.parallel.mesh import MODEL_AXIS
+
+        if self.fsdp or self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+            from cvnets_tpu.parallel.sharding_rules import shard_train_state
+
+            return shard_train_state(state, self.mesh, fsdp=self.fsdp)
+        return jax.device_put(state, replicated_sharding(self.mesh))
 
     # ------------------------------------------------------------------ train
     def _maybe_profile(self) -> None:

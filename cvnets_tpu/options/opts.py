@@ -90,6 +90,13 @@ def arguments_dev(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         "--dev.mesh-axis-names", type=str, nargs="*", default=None,
         help="Names for the mesh axes; default ('data',) or ('data','model')",
     )
+    group.add_argument(
+        "--dev.fsdp", action="store_true", default=False,
+        help="Shard parameters, Adam moments and the EMA copy over the data"
+        " axis (ZeRO-3-style FSDP); XLA inserts the all-gather/reduce-scatter"
+        " collectives over ICI. Math-identical to plain DP, per-device state"
+        " memory drops ~linearly with the data-axis size.",
+    )
     return parser
 
 

@@ -1,0 +1,164 @@
+"""FSDP (ZeRO-3) sharding over the data axis: parameters, Adam moments and the
+EMA copy shard over 'data'; the training step must be math-identical to pure
+replicated DP (GSPMD only changes the partitioning). Beyond-reference feature —
+the reference (SURVEY.md §2.8) has replicated DDP only."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_tensor_parallel import _setup
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fsdp_sharding_rules():
+    from jax.sharding import Mesh
+
+    from cvnets_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from cvnets_tpu.parallel.sharding_rules import (
+        _FSDP_MIN_SIZE,
+        infer_param_sharding,
+        state_shardings,
+    )
+
+    _opts, state, _step, _rng = _setup()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    sh = infer_param_sharding(state.params, mesh, fsdp=True)
+    flat_sh = jax.tree_util.tree_flatten_with_path(sh)[0]
+    flat_p = {"/".join(getattr(k, "key", str(k)) for k in path): leaf
+              for path, leaf in
+              jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    data_sharded = {"/".join(getattr(k, "key", str(k)) for k in p): s
+                    for p, s in flat_sh if DATA_AXIS in str(s.spec)}
+    # the big transformer matmuls shard over data
+    for tok in ("qkv_proj", "out_proj", "ffn_fc1", "ffn_fc2"):
+        assert any(tok in n for n in data_sharded), tok
+    # small leaves (LN scales/biases) stay replicated
+    for name, s in flat_sh:
+        path = "/".join(getattr(k, "key", str(k)) for k in name)
+        if flat_p[path].size < _FSDP_MIN_SIZE:
+            assert DATA_AXIS not in str(s.spec), path
+    # the sharded dim is divisible by the data-axis size
+    for path, s in data_sharded.items():
+        d = list(s.spec).index(DATA_AXIS)
+        assert flat_p[path].shape[d] % 8 == 0, (path, flat_p[path].shape, d)
+
+    # composes with TP: dp x tp mesh shards different dims per axis
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                 ("data", "model"))
+    sh2 = infer_param_sharding(state.params, mesh2, fsdp=True)
+    both = ["/".join(getattr(k, "key", str(k)) for k in p)
+            for p, s in jax.tree_util.tree_flatten_with_path(sh2)[0]
+            if DATA_AXIS in str(s.spec) and MODEL_AXIS in str(s.spec)]
+    assert any("qkv_proj" in n for n in both), both[:5]
+
+    # state shardings propagate to adam moments and the EMA copy
+    st_sh = state_shardings(state, mesh, fsdp=True)
+    ema_specs = [str(s.spec) for s in jax.tree_util.tree_leaves(
+        st_sh.ema_params, is_leaf=lambda x: hasattr(x, "spec"))]
+    assert any(DATA_AXIS in s for s in ema_specs)
+    opt_specs = [str(s.spec) for s in jax.tree_util.tree_leaves(
+        st_sh.opt_state, is_leaf=lambda x: hasattr(x, "spec"))]
+    assert any(DATA_AXIS in s for s in opt_specs)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fsdp_step_matches_pure_dp():
+    from jax.sharding import Mesh
+
+    from cvnets_tpu.parallel import replicated_sharding, shard_batch
+    from cvnets_tpu.parallel.sharding_rules import shard_train_state
+
+    opts, state, step_fn, rng = _setup()
+    batch_np = {
+        "samples": np.random.default_rng(0)
+        .standard_normal((8, 64, 64, 3)).astype(np.float32),
+        "targets": (np.arange(8) % 16).astype(np.int32),
+    }
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    state_dp = jax.device_put(state, replicated_sharding(mesh))
+    s1, m1 = jax.jit(step_fn)(state_dp, shard_batch(mesh, batch_np), 1e-3, rng)
+    loss_dp = float(np.asarray(m1["loss"]["loss"][0]))
+
+    state_fs = shard_train_state(state, mesh, fsdp=True)
+    # per-device shards really are fractions of the full array
+    big = max(jax.tree_util.tree_leaves(state_fs.params), key=lambda p: p.size)
+    assert big.addressable_shards[0].data.size == big.size // 8
+    s2, m2 = jax.jit(step_fn)(state_fs, shard_batch(mesh, batch_np), 1e-3, rng)
+    loss_fs = float(np.asarray(m2["loss"]["loss"][0]))
+
+    assert loss_dp == pytest.approx(loss_fs, rel=1e-4)
+    p1 = jax.device_get(s1.params)
+    p2 = jax.device_get(s2.params)
+    diffs = [float(np.max(np.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2))]
+    assert max(diffs) < 5e-4, f"max param divergence {max(diffs):.2e}"
+    # the updated state keeps its shards (no silent re-replication)
+    big2 = max(jax.tree_util.tree_leaves(s2.params), key=lambda p: p.size)
+    assert big2.addressable_shards[0].data.size < big2.size
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fsdp_with_tp_step_matches_pure_dp():
+    from jax.sharding import Mesh
+
+    from cvnets_tpu.parallel import replicated_sharding, shard_batch
+    from cvnets_tpu.parallel.sharding_rules import shard_train_state
+
+    opts, state, step_fn, rng = _setup({
+        "optim.name": "sgd", "optim.sgd.momentum": 0.0})
+    batch_np = {
+        "samples": np.random.default_rng(1)
+        .standard_normal((8, 64, 64, 3)).astype(np.float32),
+        "targets": (np.arange(8) % 16).astype(np.int32),
+    }
+    mesh_dp = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    state_dp = jax.device_put(state, replicated_sharding(mesh_dp))
+    s1, m1 = jax.jit(step_fn)(state_dp, shard_batch(mesh_dp, batch_np),
+                              1e-3, rng)
+    loss_dp = float(np.asarray(m1["loss"]["loss"][0]))
+
+    mesh2 = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                 ("data", "model"))
+    state_fs = shard_train_state(state, mesh2, fsdp=True)
+    s2, m2 = jax.jit(step_fn)(state_fs, shard_batch(mesh2, batch_np),
+                              1e-3, rng)
+    loss_fs = float(np.asarray(m2["loss"]["loss"][0]))
+    assert loss_dp == pytest.approx(loss_fs, rel=1e-4)
+
+
+@pytest.mark.slow
+def test_trainer_fsdp_two_epochs(tmp_path):
+    """--dev.fsdp end to end: real Trainer over the 8-device mesh with sharded
+    state, checkpoints written and loadable."""
+    import os
+
+    import tests.dummy_datasets.classification  # noqa: F401
+
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from tests.test_training_engine import _opts
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    opts = _opts(tmp_path, extra=["--dev.fsdp", "--ema.enable"])
+    setattr(opts, "scheduler.cosine.max_lr", 0.05)
+    setattr(opts, "scheduler.cosine.min_lr", 0.005)
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    # state actually sharded before training
+    sharded = [p for p in jax.tree_util.tree_leaves(trainer.state.params)
+               if hasattr(p, "addressable_shards")
+               and p.addressable_shards[0].data.size < p.size]
+    assert sharded, "FSDP trainer placed no parameter shards"
+    trainer.run()
+    assert trainer.train_iterations > 0
+    ckpts = os.listdir(trainer.save_dir)
+    assert any(c.startswith("training_checkpoint_last") for c in ckpts), ckpts
