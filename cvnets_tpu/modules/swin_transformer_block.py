@@ -77,10 +77,9 @@ class WindowAttention(nn.Module):
         dt = compute_dtype(self.opts)
         qkv = nn.Dense(3 * self.dim, use_bias=True, kernel_init=linear_init(self.opts),
                        dtype=dt, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(bnw, n, 3, h, hd), 3, axis=2)
-        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
-
-        logits = jnp.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k)
+        # thirds of the fused projection keep the (bnw, n, H·D) packed-head
+        # layout the fused kernel consumes; the einsum path reshapes below
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(stddev=0.02),
@@ -88,16 +87,35 @@ class WindowAttention(nn.Module):
         )
         idx = relative_position_index(self.window_size)
         bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
-        logits = logits + bias[None].astype(logits.dtype)
-        if mask is not None:
-            nw = mask.shape[0]
-            logits = logits.reshape(bnw // nw, nw, h, n, n)
-            logits = logits + mask[None, :, None].astype(logits.dtype)
-            logits = logits.reshape(bnw, h, n, n)
-        attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
-        if self.attn_dropout > 0:
-            attn = nn.Dropout(rate=self.attn_dropout, deterministic=not training)(attn)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(bnw, n, self.dim)
+
+        # Fused biased window-attention kernel (ops/pallas/window_attn.py):
+        # the per-window (S, S) logits never leave VMEM. Eligible whenever
+        # attention probs are not needed in HBM (no dropout on them).
+        from cvnets_tpu.ops.pallas.mha_attn import _use_pallas
+        from cvnets_tpu.ops.pallas.window_attn import (
+            fused_window_attention,
+            window_attention_eligible,
+        )
+
+        if (_use_pallas() and window_attention_eligible(n, self.dim)
+                and (self.attn_dropout == 0 or not training)):
+            out = fused_window_attention(q * hd**-0.5, k, v, h, bias, mask)
+        else:
+            q, k, v = (t.reshape(bnw, n, h, hd) for t in (q, k, v))
+            logits = jnp.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k)
+            logits = logits + bias[None].astype(logits.dtype)
+            if mask is not None:
+                nw = mask.shape[0]
+                logits = logits.reshape(bnw // nw, nw, h, n, n)
+                logits = logits + mask[None, :, None].astype(logits.dtype)
+                logits = logits.reshape(bnw, h, n, n)
+            attn = nn.softmax(
+                logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+            if self.attn_dropout > 0:
+                attn = nn.Dropout(rate=self.attn_dropout,
+                                  deterministic=not training)(attn)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(
+                bnw, n, self.dim)
         out = nn.Dense(self.dim, kernel_init=linear_init(self.opts), dtype=dt,
                        name="proj")(out)
         if self.proj_dropout > 0:

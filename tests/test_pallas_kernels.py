@@ -327,3 +327,123 @@ def test_mha_long_kernel_partitions_over_data_axis():
                                    rtol=1e-5, atol=1e-4)
     finally:
         M._INTERPRET = False
+
+
+# ------------------------------------------------------ windowed (Swin) MHA
+
+def _win_qkv(B=3, nW=4, S=49, h=3, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    e = h * d
+    bnw = B * nW
+    q = jnp.asarray(rng.standard_normal((bnw, S, e)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bnw, S, e)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bnw, S, e)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, S, S)) * 0.5, jnp.float32)
+    mask = jnp.where(jnp.asarray(rng.random((nW, S, S))) < 0.3,
+                     -100.0, 0.0).astype(jnp.float32)
+    return q, k, v, bias, mask
+
+
+def _win_gold(q, k, v, heads, bias, mask):
+    bnw, S, e = q.shape
+    d = e // heads
+    qh, kh, vh = (t.reshape(bnw, S, heads, d) for t in (q, k, v))
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) + bias[None]
+    if mask is not None:
+        nw = mask.shape[0]
+        logits = (logits.reshape(bnw // nw, nw, heads, S, S)
+                  + mask[None, :, None]).reshape(bnw, heads, S, S)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", p, vh).reshape(bnw, S, e)
+
+
+def test_window_attn_kernel_interpret_mode():
+    """Fused biased window attention (fwd + bwd incl. the bias cotangent)
+    under the CPU interpreter vs einsum, shifted (per-window mask) and not."""
+    import cvnets_tpu.ops.pallas.mha_attn as M
+    from cvnets_tpu.ops.pallas.window_attn import fused_window_attention
+
+    q, k, v, bias, mask = _win_qkv()
+    for m in (mask, None):
+        try:
+            M._INTERPRET = True
+            out = fused_window_attention(q, k, v, 3, bias, m)
+            g1 = jax.grad(
+                lambda *t: jnp.sum(fused_window_attention(
+                    t[0], t[1], t[2], 3, t[3], m) ** 2),
+                argnums=(0, 1, 2, 3))(q, k, v, bias)
+        finally:
+            M._INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_win_gold(q, k, v, 3, bias, m)),
+            atol=1e-5)
+        g2 = jax.grad(lambda *t: jnp.sum(_win_gold(
+            t[0], t[1], t[2], 3, t[3], m) ** 2), argnums=(0, 1, 2, 3))(
+            q, k, v, bias)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=1e-4, rtol=1e-4)
+
+
+def test_window_attn_layer_routes_through_kernel():
+    """SwinTransformerBlock output is identical through the fused kernel
+    (interpret) and the einsum path, for both W-MSA and SW-MSA."""
+    import cvnets_tpu.ops.pallas.mha_attn as M
+    from cvnets_tpu.modules.swin_transformer_block import SwinTransformerBlock
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    opts = get_training_arguments(args=[
+        "--model.classification.name", "swin",
+        "--dataset.category", "classification"])
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 14, 14, 24)),
+                    jnp.float32)
+    for shift in (0, 3):
+        blk = SwinTransformerBlock(opts=opts, dim=24, num_heads=3,
+                                   window_size=7, shift_size=shift)
+        variables = blk.init({"params": jax.random.PRNGKey(0)}, x)
+        y_einsum = blk.apply(variables, x)
+        try:
+            M._INTERPRET = True
+            y_kernel = blk.apply(variables, x)
+        finally:
+            M._INTERPRET = False
+        np.testing.assert_allclose(np.asarray(y_kernel),
+                                   np.asarray(y_einsum), atol=2e-5)
+
+
+def test_window_attn_partitions_over_data_axis():
+    """Batch-sharded windows stay sharded through the fused kernel: no
+    all-gather in fwd or bwd; the bias cotangent is the one all-reduce."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import cvnets_tpu.ops.pallas.mha_attn as M
+    from cvnets_tpu.ops.pallas.window_attn import fused_window_attention
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    q, k, v, bias, mask = _win_qkv(B=8, nW=4)
+    sh = NamedSharding(mesh, P("data"))
+    qs, ks, vs = (jax.device_put(t, sh) for t in (q, k, v))
+    try:
+        M._INTERPRET = True
+        f = jax.jit(lambda q, k, v, b: fused_window_attention(
+            q, k, v, 3, b, mask))
+        out = f(qs, ks, vs, bias)
+        assert "all-gather" not in f.lower(qs, ks, vs, bias).compile().as_text()
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(f(q, k, v, bias)), atol=1e-6)
+        g = jax.jit(jax.grad(
+            lambda q, k, v, b: jnp.sum(fused_window_attention(
+                q, k, v, 3, b, mask) ** 2), argnums=(0, 3)))
+        txt = g.lower(qs, ks, vs, bias).compile().as_text()
+        assert "all-gather" not in txt
+        dq_s, db_s = g(qs, ks, vs, bias)
+        dq_r, db_r = g(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(dq_s), np.asarray(dq_r),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(db_s), np.asarray(db_r),
+                                   rtol=1e-5, atol=1e-4)
+    finally:
+        M._INTERPRET = False
