@@ -71,6 +71,9 @@ def _model_opts(name: str):
     elif name == "vit":
         setattr(opts, "model.classification.vit.mode", "base")
         setattr(opts, "model.activation.name", "gelu")
+    elif name == "swin":
+        setattr(opts, "model.classification.swin.mode", "tiny")
+        setattr(opts, "model.activation.name", "gelu")
     return opts
 
 
@@ -343,6 +346,8 @@ def main() -> None:
             # is batch-bound; MFU in every line makes the claim falsifiable
             ("vit", "vit_base_bs128_train_images_per_sec_per_chip", 128, 224),
             ("vit", "vit_base_bs256_train_images_per_sec_per_chip", 256, 224),
+            # windowed attention: exercises the fused Swin kernel
+            ("swin", "swin_tiny_train_images_per_sec_per_chip", 128, 224),
         ):
             try:
                 results.append(bench_model(name, metric, batch, img))
