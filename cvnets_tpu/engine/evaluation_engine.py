@@ -11,6 +11,7 @@ import numpy as np
 from cvnets_tpu.engine.train_state import TrainState, make_eval_step
 from cvnets_tpu.metrics.stats import Statistics
 from cvnets_tpu.parallel import create_mesh, replicated_sharding, shard_batch
+from cvnets_tpu.parallel.mesh import set_active_mesh
 from cvnets_tpu.utils import logger
 
 
@@ -23,6 +24,7 @@ class Evaluator:
         self.test_loader = test_loader
         self.is_master_node = jax.process_index() == 0
         self.mesh = create_mesh(opts)
+        set_active_mesh(self.mesh)
 
         if criteria is None:
             from cvnets_tpu.loss import build_loss_fn

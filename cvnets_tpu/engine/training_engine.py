@@ -29,6 +29,7 @@ from cvnets_tpu.ops.mixing import build_mixing_fn
 from cvnets_tpu.optim import build_optimizer
 from cvnets_tpu.optim.scheduler import build_scheduler
 from cvnets_tpu.parallel import create_mesh, replicated_sharding, shard_batch
+from cvnets_tpu.parallel.mesh import set_active_mesh
 from cvnets_tpu.utils import logger
 from cvnets_tpu.utils.checkpoint_utils import CheckpointManager, load_checkpoint
 
@@ -57,6 +58,7 @@ class Trainer:
 
         self.is_master_node = jax.process_index() == 0
         self.mesh = create_mesh(opts)
+        set_active_mesh(self.mesh)
 
         self.max_epochs = getattr(opts, "scheduler.max_epochs", 100) or 100
         self.max_iterations = getattr(opts, "scheduler.max_iterations", 10**9) or 10**9

@@ -70,14 +70,32 @@ class MultiHeadAttention(nn.Module):
         )
 
         if (attn_mask is None and nq == nk
-                and (self.attn_dropout == 0 or not training)
-                and fused_attention_eligible(nq, d)):
+                and (self.attn_dropout == 0 or not training)):
             km = None
             if key_padding_mask is not None:
                 km = jnp.where(key_padding_mask, -1e30, 0.0)
-            out = fused_mha_attention(q * scale, k, v, h, km)
-            return nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init,
-                            dtype=dt, name="out_proj")(out)
+            # Sequence parallelism (--dev.sequence-parallel): shard the token
+            # dim over the mesh's 'model' axis and run ring attention — kv
+            # slices rotate via ppermute, no device holds the full sequence
+            # (parallel/ring_attention.py). Takes precedence over the local
+            # Pallas kernels: when SP is on the point is memory scaling.
+            if getattr(self.opts, "dev.sequence_parallel", False):
+                from cvnets_tpu.parallel.mesh import MODEL_AXIS, get_active_mesh
+                from cvnets_tpu.parallel.ring_attention import (
+                    ring_attention,
+                    ring_attention_eligible,
+                )
+
+                mesh = get_active_mesh()
+                if ring_attention_eligible(mesh, nq, MODEL_AXIS):
+                    out = ring_attention(q * scale, k, v, h, mesh, km)
+                    return nn.Dense(d, use_bias=self.bias,
+                                    kernel_init=qkv_init, dtype=dt,
+                                    name="out_proj")(out)
+            if fused_attention_eligible(nq, d):
+                out = fused_mha_attention(q * scale, k, v, h, km)
+                return nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init,
+                                dtype=dt, name="out_proj")(out)
         q = q.reshape(b, nq, h, hd)
         k = k.reshape(b, nk, h, hd)
         v = v.reshape(b, nk, h, hd)

@@ -97,6 +97,21 @@ def arguments_dev(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
         " collectives over ICI. Math-identical to plain DP, per-device state"
         " memory drops ~linearly with the data-axis size.",
     )
+    group.add_argument(
+        "--dev.sequence-parallel", action="store_true", default=False,
+        help="Shard attention over the sequence dim of the mesh's 'model'"
+        " axis (ring attention: kv slices rotate via ppermute, exact"
+        " softmax, no device holds the full sequence). Needs a >1 'model'"
+        " mesh axis whose size divides the token count; attention layers"
+        " fall back to the local path otherwise.",
+    )
+    group.add_argument(
+        "--model.moe.aux-loss-weight", type=float, default=0.01,
+        help="Weight on the MoE load-balance auxiliary loss (modules/moe.py)"
+        " added by the train step when a model sows into the 'moe_loss'"
+        " collection. Expert weights shard over the mesh's 'model' axis"
+        " (expert parallelism).",
+    )
     return parser
 
 

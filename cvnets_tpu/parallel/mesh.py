@@ -35,6 +35,22 @@ def create_mesh(opts=None, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(dev_array, tuple(axis_names))
 
 
+# The mesh the engine is currently training over. Layers that embed mesh-aware
+# collectives (ring attention under --dev.sequence-parallel) read it at trace
+# time; the Trainer / graft dryrun set it right after building the mesh. A
+# plain module global (not a context var): one process drives one mesh.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
