@@ -99,6 +99,17 @@ def make_train_step(
     adjust_bn = getattr(opts, "model.normalization.adjust_bn_momentum.enable", False)
     _m0_torch = getattr(opts, "model.normalization.momentum", 0.1) or 0.1
     m0_flax = 1.0 - _m0_torch
+    # MoE load-balance aux loss (modules/moe.py sows into 'moe_loss'; a model
+    # with no MoE layers simply never populates the collection)
+    moe_aux_w = getattr(opts, "model.moe.aux_loss_weight", 0.01) or 0.0
+
+    def _with_moe_aux(total, new_vars):
+        aux = new_vars.get("moe_loss")
+        if moe_aux_w and aux:
+            leaves = jax.tree_util.tree_leaves(aux)
+            total = total + moe_aux_w * sum(
+                jnp.asarray(l, jnp.float32) for l in leaves)
+        return total
 
     def train_step(state: TrainState, batch: Dict, lr: jnp.ndarray, rng,
                    epoch: jnp.ndarray = 0,
@@ -118,42 +129,41 @@ def make_train_step(
 
         def loss_fn(params):
             variables = {"params": params}
+            muts = ["moe_loss"]
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                prediction, new_vars = model.apply(
-                    variables, samples, training=True,
-                    mutable=["batch_stats"], rngs={"dropout": dropout_rng},
-                )
-            else:
-                prediction = model.apply(
-                    variables, samples, training=True,
-                    rngs={"dropout": dropout_rng},
-                )
-                new_vars = {}
+                muts = ["batch_stats", "moe_loss"]
+            prediction, new_vars = model.apply(
+                variables, samples, training=True,
+                mutable=muts, rngs={"dropout": dropout_rng},
+            )
             loss = criteria(samples, prediction, targets, training=True,
                             epoch=epoch, iterations=state.step)
             total = loss["total_loss"] if isinstance(loss, dict) else loss
-            return total.astype(jnp.float32), (loss, prediction, new_vars)
+            total = _with_moe_aux(total.astype(jnp.float32), new_vars)
+            loss = {**loss, "total_loss": total} if isinstance(loss, dict) \
+                else total
+            return total, (loss, prediction, new_vars)
 
         if accum_freq > 1:
             # gradient accumulation (reference --common.accum-freq): unrolled
             # microbatch loop, averaged grads, one optimizer step per call
             def loss_micro(params, mb_samples, mb_targets):
                 variables = {"params": params}
+                muts = ["moe_loss"]
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
-                    pred, nv = model.apply(
-                        variables, mb_samples, training=True,
-                        mutable=["batch_stats"], rngs={"dropout": dropout_rng},
-                    )
-                else:
-                    pred = model.apply(variables, mb_samples, training=True,
-                                       rngs={"dropout": dropout_rng})
-                    nv = {}
+                    muts = ["batch_stats", "moe_loss"]
+                pred, nv = model.apply(
+                    variables, mb_samples, training=True,
+                    mutable=muts, rngs={"dropout": dropout_rng},
+                )
                 ls = criteria(mb_samples, pred, mb_targets, training=True,
                               epoch=epoch, iterations=state.step)
                 tot = ls["total_loss"] if isinstance(ls, dict) else ls
-                return tot.astype(jnp.float32), (ls, pred, nv)
+                tot = _with_moe_aux(tot.astype(jnp.float32), nv)
+                ls = {**ls, "total_loss": tot} if isinstance(ls, dict) else tot
+                return tot, (ls, pred, nv)
 
             mbs = samples.shape[0] // accum_freq if hasattr(samples, "shape") else None
             grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)

@@ -51,6 +51,20 @@ class VisionTransformer(BaseImageEncoder):
                            action="store_true", default=False)
         group.add_argument("--model.classification.vit.checkpoint-segments",
                            type=int, default=4)
+        group.add_argument(
+            "--model.classification.vit.moe-num-experts", type=int, default=0,
+            help="0 = dense FFN (reference ViT). >0 swaps every"
+            " moe-layer-period-th block's FFN for a sparse MoE"
+            " (modules/moe.py); expert weights shard over the mesh's 'model'"
+            " axis (expert parallelism).")
+        group.add_argument("--model.classification.vit.moe-top-k",
+                           type=int, default=2)
+        group.add_argument("--model.classification.vit.moe-capacity-factor",
+                           type=float, default=1.25)
+        group.add_argument(
+            "--model.classification.vit.moe-layer-period", type=int, default=2,
+            help="Every p-th transformer block is MoE (GShard-style"
+            " alternation); 1 = every block.")
         return parser
 
     def _config(self):
@@ -107,10 +121,37 @@ class VisionTransformer(BaseImageEncoder):
         # math-identical, strictly-lower-memory XLA form of its
         # checkpoint_sequential-over-N-segments (so the segment count itself
         # has no XLA analog beyond being >=1)
+        moe_experts = getattr(
+            opts, "model.classification.vit.moe_num_experts", 0) or 0
+        moe_period = max(getattr(
+            opts, "model.classification.vit.moe_layer_period", 2) or 2, 1)
+        moe_cls = None
+        if moe_experts > 0:
+            from cvnets_tpu.modules.moe import MoETransformerEncoder
+            moe_cls = MoETransformerEncoder
         if self.gradient_checkpointing and getattr(
                 opts, "model.classification.vit.checkpoint_segments", 4):
             block_cls = nn.remat(TransformerEncoder, static_argnums=(5,))
+            if moe_cls is not None:
+                moe_cls = nn.remat(MoETransformerEncoder, static_argnums=(5,))
         for i in range(n_layers):
+            # GShard-style alternation: every moe_period-th block is sparse
+            if moe_cls is not None and (i + 1) % moe_period == 0:
+                tokens = moe_cls(
+                    opts=opts, embed_dim=embed_dim,
+                    ffn_latent_dim=cfg["ffn_dim"],
+                    num_heads=cfg["n_attn_heads"],
+                    num_experts=moe_experts,
+                    top_k=getattr(
+                        opts, "model.classification.vit.moe_top_k", 2) or 2,
+                    capacity_factor=getattr(
+                        opts, "model.classification.vit.moe_capacity_factor",
+                        1.25) or 1.25,
+                    attn_dropout=cfg["attn_dropout"], dropout=cfg["dropout"],
+                    transformer_norm_layer=cfg["norm_layer"],
+                    norm_eps=1e-6, name=f"transformer_{i}",
+                )(tokens, None, None, None, training)
+                continue
             tokens = block_cls(
                 opts=opts, embed_dim=embed_dim, ffn_latent_dim=cfg["ffn_dim"],
                 num_heads=cfg["n_attn_heads"], attn_dropout=cfg["attn_dropout"],

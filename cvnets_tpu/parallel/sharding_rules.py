@@ -60,6 +60,12 @@ def _tp_spec(path, leaf, tp: int) -> List[Optional[str]]:
     name = "/".join(keys)
     leafname = keys[-1] if keys else ""
     row = any(tok in name for tok in _ROW_PARALLEL_TOKENS)
+    if leafname.startswith("experts_"):
+        # MoE expert stacks (modules/moe.py): (E, D, F)/(E, F, D) kernels and
+        # (E, 1, F) biases — expert parallelism shards the leading E dim
+        if leaf.shape[0] % tp == 0:
+            spec[0] = MODEL_AXIS
+        return spec
     if leafname == "kernel" and leaf.ndim == 2:
         if row and leaf.shape[0] % tp == 0:
             spec[0] = MODEL_AXIS
