@@ -334,10 +334,17 @@ def main() -> None:
 
     from cvnets_tpu.utils.host_alloc import tune_host_allocator
 
+    import sys
+
     tune_host_allocator()
-    results = []
-    # secondary models first (perf tracking beyond the flagship); flagship LAST
-    # so the driver's final-line parse records the headline metric
+
+    def emit(r):
+        # print each line as soon as it's measured (a wall-clock-bounded
+        # driver still gets every completed line; flagship stays LAST so a
+        # final-line parse records the headline metric)
+        print(json.dumps(r), flush=True)
+
+    # secondary models first (perf tracking beyond the flagship)
     if os.environ.get("BENCH_FLAGSHIP_ONLY", "0") != "1":
         for name, metric, batch, img in (
             ("resnet", "resnet_50_train_images_per_sec_per_chip", 128, 224),
@@ -349,26 +356,28 @@ def main() -> None:
             # windowed attention: exercises the fused Swin kernel
             ("swin", "swin_tiny_train_images_per_sec_per_chip", 128, 224),
         ):
+            t0 = time.perf_counter()
             try:
-                results.append(bench_model(name, metric, batch, img))
+                emit(bench_model(name, metric, batch, img))
             except Exception as e:  # secondary benches must not kill the headline
-                results.append({"metric": metric, "value": 0.0,
-                                "unit": "images/sec/chip", "vs_baseline": 0.0,
-                                "error": str(e)[:200]})
+                emit({"metric": metric, "value": 0.0,
+                      "unit": "images/sec/chip", "vs_baseline": 0.0,
+                      "error": str(e)[:200]})
+            print(f"# {metric}: {time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
     flagship = bench_model(
         "mobilevit_v2", "mobilevit_v2_1.0_train_images_per_sec_per_chip",
         128, 256, iters=30)
     if os.environ.get("BENCH_SKIP_LOADER_FED", "0") != "1":
         try:
-            results.extend(bench_loader_fed(resident_rate=flagship["value"]))
+            for r in bench_loader_fed(resident_rate=flagship["value"]):
+                emit(r)
         except Exception as e:
-            results.append({
+            emit({
                 "metric": "loader_fed_mobilevit_v2_train_images_per_sec_per_chip",
                 "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
                 "error": str(e)[:200]})
-    results.append(flagship)
-    for r in results:
-        print(json.dumps(r))
+    emit(flagship)
 
 
 if __name__ == "__main__":
