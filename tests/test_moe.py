@@ -199,3 +199,48 @@ def test_expert_parallel_matches_replicated():
     finally:
         set_active_mesh(None)
     assert abs(loss_ep - loss_dp) < 1e-4, (loss_ep, loss_dp)
+
+
+@pytest.mark.slow
+def test_moe_vit_learns_synthetic_task(tmp_path):
+    """The MoE ViT must LEARN (router + experts + aux loss end-to-end through
+    the real Trainer), not just run: same separable color task as
+    test_learnability.py."""
+    import tests.test_learnability  # noqa: F401 — registers synthetic_colors
+
+    from cvnets_tpu.data.data_loaders import create_train_val_loader
+    from cvnets_tpu.engine import Trainer
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+
+    opts = _opts([
+        "--dataset.name", "synthetic_colors",
+        "--dataset.train-batch-size0", "2",
+        "--dataset.val-batch-size0", "2",
+        "--dataset.workers", "0",
+        "--model.classification.vit.mode", "tiny",
+        "--model.classification.vit.moe-num-experts", "4",
+        "--model.classification.vit.moe-layer-period", "2",
+        "--sampler.name", "batch_sampler",
+        "--sampler.bs.crop-size-width", "32",
+        "--sampler.bs.crop-size-height", "32",
+        "--loss.category", "classification",
+        "--optim.name", "adamw",
+        "--scheduler.name", "cosine",
+        "--scheduler.max-epochs", "3",
+        "--common.log-freq", "8",
+        "--common.results-loc", str(tmp_path),
+    ])
+    setattr(opts, "scheduler.cosine.max_lr", 0.002)
+    setattr(opts, "scheduler.cosine.min_lr", 0.0005)
+    setattr(opts, "stats.val", ["loss", "top1"])
+
+    train_loader, val_loader, train_sampler = create_train_val_loader(opts)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    trainer = Trainer(opts=opts, model=model, criteria=criteria,
+                      train_loader=train_loader, val_loader=val_loader,
+                      train_sampler=train_sampler)
+    trainer.run()
+    val_stats = trainer.val_epoch(99)
+    assert val_stats["top1"] > 75.0, val_stats
