@@ -186,6 +186,63 @@ def bench_model(name: str, metric_name: str, batch: int, img: int,
     }
 
 
+def bench_inference_int8(name: str = "mobilevit_v2", batch: int = 256,
+                         img: int = 256, iters: int = 48) -> list:
+    """Serving path: compiled forward at bf16 vs dynamic-int8
+    (``--common.int8-inference``). Emits two lines; the int8 line's
+    ``vs_baseline`` is its speedup over the measured bf16 forward (the MXU
+    executes s8 at 2x the bf16 rate, so >1.0 is the expectation once the
+    step is compute-bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvnets_tpu.models import get_model
+
+    opts = _model_opts(name)
+    model_f = get_model(opts)
+
+    opts_q = _model_opts(name)
+    setattr(opts_q, "common.int8_inference", True)
+    model_q = get_model(opts_q)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = np.random.default_rng(0).standard_normal(
+        (batch, img, img, 3)).astype(np.float32)
+    variables = model_f.init({"params": rng, "dropout": rng},
+                             x0[:2], training=False)
+
+    def timed(model):
+        def multi(v, x):
+            def body(x, _):
+                logits = model.apply(v, x, training=False)
+                # chain the input so relay caching can't serve repeats
+                x = x + (jnp.mean(logits) * 0 + 1e-6).astype(x.dtype)
+                return x, logits[0, 0]
+            return jax.lax.scan(body, x, None, length=SCAN_STEPS)
+
+        fwd = jax.jit(multi)
+        x, out = fwd(variables, jnp.asarray(x0))
+        float(np.asarray(jax.device_get(out)).ravel()[-1])
+        n_calls = max(1, iters // SCAN_STEPS)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            x, out = fwd(variables, x)
+        float(np.asarray(jax.device_get(out)).ravel()[-1])
+        dt = time.perf_counter() - t0
+        return batch * SCAN_STEPS * n_calls / dt
+
+    rate_bf16 = timed(model_f)
+    rate_int8 = timed(model_q)
+    return [
+        {"metric": f"{name}_infer_bf16_images_per_sec_per_chip",
+         "value": round(rate_bf16, 2), "unit": "images/sec/chip",
+         "vs_baseline": 1.0},
+        {"metric": f"{name}_infer_int8_images_per_sec_per_chip",
+         "value": round(rate_int8, 2), "unit": "images/sec/chip",
+         "vs_baseline": round(rate_int8 / max(rate_bf16, 1e-9), 4)},
+    ]
+
+
 def _make_bench_corpus(n_files: int = 10000,
                        root: str = "/tmp/cvnets_bench_corpus") -> str:
     """Synthesize an on-disk ImageNet-shaped JPEG corpus (natural-image-like
@@ -365,6 +422,14 @@ def main() -> None:
                       "error": str(e)[:200]})
             print(f"# {metric}: {time.perf_counter() - t0:.0f}s",
                   file=sys.stderr, flush=True)
+        # serving path: bf16 vs dynamic-int8 forward on the flagship
+        try:
+            for r in bench_inference_int8():
+                emit(r)
+        except Exception as e:
+            emit({"metric": "mobilevit_v2_infer_int8_images_per_sec_per_chip",
+                  "value": 0.0, "unit": "images/sec/chip",
+                  "vs_baseline": 0.0, "error": str(e)[:200]})
     flagship = bench_model(
         "mobilevit_v2", "mobilevit_v2_1.0_train_images_per_sec_per_chip",
         128, 256, iters=30)

@@ -49,18 +49,36 @@ class ConvLayer2d(nn.Module):
         k = _pair(self.kernel_size)
         d = _pair(self.dilation)
         pad = tuple(((kk - 1) // 2 * dd, (kk - 1) // 2 * dd) for kk, dd in zip(k, d))
-        x = nn.Conv(
-            features=self.out_channels,
-            kernel_size=k,
-            strides=_pair(self.stride),
-            padding=pad,
-            kernel_dilation=d,
-            feature_group_count=self.groups,
-            use_bias=self.bias,
-            kernel_init=conv_init(self.opts),
-            dtype=compute_dtype(self.opts),
-            name="conv",
-        )(x)
+        from cvnets_tpu.quantization import Int8Conv, int8_inference_enabled
+
+        if int8_inference_enabled(self.opts) and not training:
+            # --common.int8-inference: same param tree ("conv/kernel[,bias]"),
+            # dynamic-int8 forward on the MXU's s8 path (2x bf16 rate)
+            x = Int8Conv(
+                features=self.out_channels,
+                kernel_size=k,
+                strides=_pair(self.stride),
+                padding=pad,
+                kernel_dilation=d,
+                feature_group_count=self.groups,
+                use_bias=self.bias,
+                kernel_init=conv_init(self.opts),
+                dtype=compute_dtype(self.opts),
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.out_channels,
+                kernel_size=k,
+                strides=_pair(self.stride),
+                padding=pad,
+                kernel_dilation=d,
+                feature_group_count=self.groups,
+                use_bias=self.bias,
+                kernel_init=conv_init(self.opts),
+                dtype=compute_dtype(self.opts),
+                name="conv",
+            )(x)
         if self.use_norm:
             norm = get_normalization_layer(self.opts, norm_type=self.norm_name)
             if norm is not None:

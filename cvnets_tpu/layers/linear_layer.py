@@ -20,6 +20,18 @@ class LinearLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cvnets_tpu.quantization import Int8Dense, int8_inference_enabled
+
+        if int8_inference_enabled(self.opts):
+            # --common.int8-inference (inference-only flag): dynamic-int8
+            # matmul, identical param tree ("linear/kernel[,bias]")
+            return Int8Dense(
+                features=self.out_features,
+                use_bias=self.bias,
+                kernel_init=linear_init(self.opts),
+                dtype=compute_dtype(self.opts),
+                name="linear",
+            )(x)
         return nn.Dense(
             features=self.out_features,
             use_bias=self.bias,

@@ -32,6 +32,12 @@ def arguments_common(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     group.add_argument("--common.finetune-ema", type=str, default=None)
     group.add_argument("--common.mixed-precision", action="store_true")
     group.add_argument(
+        "--common.int8-inference", action="store_true",
+        help="Dynamic-int8 conv/linear forward (inference only; MXU s8 path "
+             "runs at 2x the bf16 rate on v5e). Param tree is unchanged, so "
+             "float checkpoints load directly.",
+    )
+    group.add_argument(
         "--common.mixed-precision-dtype",
         type=str,
         default="bfloat16",

@@ -19,6 +19,11 @@ from cvnets_tpu.utils.common_utils import device_setup
 
 
 def main(opts, **kwargs):
+    if getattr(opts, "common.int8_inference", False):
+        logger.error(
+            "--common.int8-inference is an inference-only flag (rounding has "
+            "zero gradient); unset it for training and pass it to main_eval/"
+            "main_benchmark instead.")
     train_loader, val_loader, train_sampler = create_train_val_loader(opts)
     model = get_model(opts)
     criteria = build_loss_fn(opts)

@@ -1,0 +1,131 @@
+"""Int8 post-training quantization (``--common.int8-inference``).
+
+The reference deploys via CoreML and leaves quantization to coremltools
+(``utils/pytorch_to_coreml.py:20``); our TPU-native deployment path is
+dynamic-int8 on the MXU s8 pipe. These tests pin (a) op-level accuracy of
+the int8 kernels against their float twins, (b) that the param tree is
+byte-compatible with float checkpoints, (c) that whole-model logits stay
+close, and (d) that the lowered program really computes in int8."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _training_opts(extra=()):
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    return get_training_arguments(args=[
+        "--model.classification.name", "mobilenetv2",
+        "--model.classification.n-classes", "13",
+        "--model.classification.mobilenetv2.width-multiplier", "0.25",
+        "--dataset.category", "classification",
+        "--loss.category", "classification",
+        *extra,
+    ])
+
+
+def test_int8_conv_matches_float():
+    from cvnets_tpu.quantization import Int8Conv
+    import flax.linen as nn
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 24))
+    kwargs = dict(features=32, kernel_size=(3, 3), strides=(2, 2),
+                  padding=((1, 1), (1, 1)), use_bias=True)
+    qconv = Int8Conv(**kwargs)
+    params = qconv.init(rng, x)
+    ref = nn.Conv(**kwargs).apply(params, x)
+    out = qconv.apply(params, x)
+    assert out.shape == ref.shape
+    cos = float(jnp.vdot(out, ref) / (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
+    assert cos > 0.999, cos
+    # per-element: 8-bit dynamic quantization of both operands
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 0.15 * float(jnp.max(jnp.abs(ref))), err
+
+
+def test_int8_conv_depthwise_matches_float():
+    from cvnets_tpu.quantization import Int8Conv
+    import flax.linen as nn
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+    kwargs = dict(features=16, kernel_size=(3, 3), strides=(1, 1),
+                  padding=((1, 1), (1, 1)), feature_group_count=16,
+                  use_bias=False)
+    qconv = Int8Conv(**kwargs)
+    params = qconv.init(rng, x)
+    ref = nn.Conv(**kwargs).apply(params, x)
+    out = qconv.apply(params, x)
+    cos = float(jnp.vdot(out, ref) / (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
+    assert cos > 0.999, cos
+
+
+def test_int8_dense_matches_float():
+    from cvnets_tpu.quantization import Int8Dense
+    import flax.linen as nn
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 96))
+    qdense = Int8Dense(features=64)
+    params = qdense.init(rng, x)
+    ref = nn.Dense(features=64).apply(params, x)
+    out = qdense.apply(params, x)
+    cos = float(jnp.vdot(out, ref) / (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
+    assert cos > 0.999, cos
+
+
+def test_int8_param_tree_matches_float_checkpoints():
+    """Same model, flag on vs off -> identical param tree (shapes + names),
+    so trained float checkpoints load into the int8 graph unchanged."""
+    from cvnets_tpu.models import get_model
+
+    opts_f = _training_opts()
+    opts_q = _training_opts(("--common.int8-inference",))
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 64, 64, 3))
+    vf = get_model(opts_f).init({"params": rng, "dropout": rng}, x,
+                                training=False)
+    vq = get_model(opts_q).init({"params": rng, "dropout": rng}, x,
+                                training=False)
+    tf = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vf)
+    tq = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vq)
+    assert tf == tq
+
+
+def test_int8_model_logits_close_and_program_is_int8():
+    from cvnets_tpu.models import get_model
+
+    opts_f = _training_opts()
+    opts_q = _training_opts(("--common.int8-inference",))
+    model_f = get_model(opts_f)
+    model_q = get_model(opts_q)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3)) * 0.5
+    variables = model_f.init({"params": rng, "dropout": rng}, x,
+                             training=False)
+
+    logits_f = model_f.apply(variables, x, training=False)
+    logits_q = model_q.apply(variables, x, training=False)
+    assert logits_f.shape == logits_q.shape
+    a, b = np.asarray(logits_f, np.float64), np.asarray(logits_q, np.float64)
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.98, cos
+    # top-1 agreement on the random batch
+    assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.5
+
+    # the lowered program must actually convolve in int8 (s8 x s8 -> s32)
+    jaxpr = str(jax.make_jaxpr(
+        lambda v, xx: model_q.apply(v, xx, training=False))(variables, x))
+    assert "int8" in jaxpr or "i8[" in jaxpr, "no int8 ops in quantized program"
+    assert "preferred_element_type=int32" in jaxpr
+
+
+def test_int8_training_flag_rejected():
+    import main_train
+
+    opts = _training_opts(("--common.int8-inference",))
+    with pytest.raises(SystemExit):
+        main_train.main(opts)
