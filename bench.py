@@ -1,8 +1,15 @@
 """Throughput benchmark for the driver: compiled train steps on real hardware.
 
-Prints one JSON line per benched model; the FLAGSHIP (MobileViTv2-1.0) line is
-printed LAST so a driver that parses the final line records the headline metric:
+Prints one JSON line per benched model. The FLAGSHIP (MobileViTv2-1.0) line is
+printed FIRST — so a wall-clock-capped driver always records the headline — and
+re-emitted LAST so a final-line parse also lands on it:
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Every other bench is gated on a global wall-clock budget (``BENCH_BUDGET_S``,
+default 900 s): before starting a secondary bench, the remaining budget is
+checked against that bench's cost estimate and the bench is skipped-and-logged
+if it does not fit (round-2 lesson: an unbounded secondary list timed out the
+driver and the headline line never printed).
 
 ``vs_baseline`` = roofline_lower_bound_time / measured_step_time, where the lower
 bound is max(flops/peak_flops, bytes/peak_bw) from XLA cost analysis — i.e. a
@@ -186,23 +193,29 @@ def bench_model(name: str, metric_name: str, batch: int, img: int,
     }
 
 
-def bench_inference_int8(name: str = "mobilevit_v2", batch: int = 256,
-                         img: int = 256, iters: int = 48) -> list:
-    """Serving path: compiled forward at bf16 vs dynamic-int8
-    (``--common.int8-inference``). Emits two lines; the int8 line's
-    ``vs_baseline`` is its speedup over the measured bf16 forward (the MXU
-    executes s8 at 2x the bf16 rate, so >1.0 is the expectation once the
-    step is compute-bound)."""
+def bench_inference_int8(name: str = "vit", batch: int = 128,
+                         img: int = 224, iters: int = 48) -> list:
+    """Serving path: compiled forward at bf16 vs PREQUANTIZED int8
+    (``--common.int8-inference`` + ``quantization.prequantize_variables`` —
+    weights are int8 jit arguments, so no in-graph requant and half the
+    parameter HBM bytes). Mode picked per model: ``dynamic`` (s8 MXU rate)
+    for compute-bound ViT-class, ``weight-only`` for the bandwidth-bound
+    flagship where int8 activation plumbing would only add bytes. Emits two
+    lines; the int8 line's ``vs_baseline`` is its speedup over the measured
+    bf16 forward. Either half failing still emits both metric lines."""
     import jax
     import jax.numpy as jnp
 
     from cvnets_tpu.models import get_model
+    from cvnets_tpu.quantization import prequantize_variables
 
+    mode = "dynamic" if name == "vit" else "weight-only"
     opts = _model_opts(name)
     model_f = get_model(opts)
 
     opts_q = _model_opts(name)
     setattr(opts_q, "common.int8_inference", True)
+    setattr(opts_q, "common.int8_mode", mode)
     model_q = get_model(opts_q)
 
     rng = jax.random.PRNGKey(0)
@@ -211,7 +224,7 @@ def bench_inference_int8(name: str = "mobilevit_v2", batch: int = 256,
     variables = model_f.init({"params": rng, "dropout": rng},
                              x0[:2], training=False)
 
-    def timed(model):
+    def timed(model, v):
         def multi(v, x):
             def body(x, _):
                 logits = model.apply(v, x, training=False)
@@ -221,26 +234,43 @@ def bench_inference_int8(name: str = "mobilevit_v2", batch: int = 256,
             return jax.lax.scan(body, x, None, length=SCAN_STEPS)
 
         fwd = jax.jit(multi)
-        x, out = fwd(variables, jnp.asarray(x0))
+        x, out = fwd(v, jnp.asarray(x0))
         float(np.asarray(jax.device_get(out)).ravel()[-1])
         n_calls = max(1, iters // SCAN_STEPS)
         t0 = time.perf_counter()
         for _ in range(n_calls):
-            x, out = fwd(variables, x)
+            x, out = fwd(v, x)
         float(np.asarray(jax.device_get(out)).ravel()[-1])
         dt = time.perf_counter() - t0
         return batch * SCAN_STEPS * n_calls / dt
 
-    rate_bf16 = timed(model_f)
-    rate_int8 = timed(model_q)
-    return [
-        {"metric": f"{name}_infer_bf16_images_per_sec_per_chip",
-         "value": round(rate_bf16, 2), "unit": "images/sec/chip",
-         "vs_baseline": 1.0},
-        {"metric": f"{name}_infer_int8_images_per_sec_per_chip",
-         "value": round(rate_int8, 2), "unit": "images/sec/chip",
-         "vs_baseline": round(rate_int8 / max(rate_bf16, 1e-9), 4)},
-    ]
+    lines = []
+    rate_bf16 = None
+    try:
+        rate_bf16 = timed(model_f, variables)
+        lines.append(
+            {"metric": f"{name}_infer_bf16_images_per_sec_per_chip",
+             "value": round(rate_bf16, 2), "unit": "images/sec/chip",
+             "vs_baseline": 1.0})
+    except Exception as e:
+        lines.append(
+            {"metric": f"{name}_infer_bf16_images_per_sec_per_chip",
+             "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+             "error": str(e)[:200]})
+    try:
+        qvars = prequantize_variables(model_q, variables, x0[:2])
+        rate_int8 = timed(model_q, qvars)
+        lines.append(
+            {"metric": f"{name}_infer_int8_images_per_sec_per_chip",
+             "value": round(rate_int8, 2), "unit": "images/sec/chip",
+             "vs_baseline": round(rate_int8 / max(rate_bf16 or 0.0, 1e-9), 4),
+             "mode": mode})
+    except Exception as e:
+        lines.append(
+            {"metric": f"{name}_infer_int8_images_per_sec_per_chip",
+             "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+             "mode": mode, "error": str(e)[:200]})
+    return lines
 
 
 def _make_bench_corpus(n_files: int = 10000,
@@ -276,7 +306,8 @@ def _make_bench_corpus(n_files: int = 10000,
 
 
 def bench_loader_fed(resident_rate: float, batch: int = 128, img: int = 256,
-                     steps: int = 220, corpus_files: int = 10000) -> list:
+                     steps: int = 220, corpus_files: int = 6000,
+                     deadline_s: float = 90.0) -> list:
     """The host-feeds-the-chip proof (VERDICT r1 #1): decode(native C++) ->
     RandomResizedCrop -> flip -> collate -> shard_batch -> compiled train step,
     driven from an on-disk JPEG corpus for >= ``steps`` steps. Reports the
@@ -354,16 +385,24 @@ def bench_loader_fed(resident_rate: float, batch: int = 128, img: int = 256,
         state, m = step_fn(state, sharded, 2e-3, rng)
     float(np.asarray(jax.device_get(m["loss"]["loss"])).ravel()[0])
 
+    # time-boxed: run up to ``steps`` steps but stop at ``deadline_s`` of
+    # measurement wall-clock (the sustained rate is valid at any step count
+    # past warmup; an unbounded loop is what timed out the round-2 driver)
     seen = 0
+    n_run = 0
     t0 = time.perf_counter()
     for _ in range(steps):
         b = next(gen)
         seen += int(b["samples"].shape[0])
         sharded = shard_batch(mesh, b)
         state, m = step_fn(state, sharded, 2e-3, rng)
+        n_run += 1
+        if n_run >= 20 and time.perf_counter() - t0 > deadline_s:
+            break
     float(np.asarray(jax.device_get(m["loss"]["loss"])).ravel()[0])
     dt = time.perf_counter() - t0
     sustained = seen / dt
+    steps = n_run
 
     n_cores = os.cpu_count() or 1
     return [
@@ -388,61 +427,90 @@ def bench_loader_fed(resident_rate: float, batch: int = 128, img: int = 256,
 
 def main() -> None:
     import os
+    import sys
 
     from cvnets_tpu.utils.host_alloc import tune_host_allocator
 
-    import sys
-
     tune_host_allocator()
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
+    def remaining() -> float:
+        return budget - (time.perf_counter() - t_start)
 
     def emit(r):
-        # print each line as soon as it's measured (a wall-clock-bounded
-        # driver still gets every completed line; flagship stays LAST so a
-        # final-line parse records the headline metric)
+        # print each line as soon as it's measured: a wall-clock-bounded
+        # driver still gets every completed line
         print(json.dumps(r), flush=True)
 
-    # secondary models first (perf tracking beyond the flagship)
-    if os.environ.get("BENCH_FLAGSHIP_ONLY", "0") != "1":
-        for name, metric, batch, img in (
-            ("resnet", "resnet_50_train_images_per_sec_per_chip", 128, 224),
-            ("vit", "vit_base_train_images_per_sec_per_chip", 64, 224),
-            # batch sweep (VERDICT r1 weak#6): shows whether ViT-B throughput
-            # is batch-bound; MFU in every line makes the claim falsifiable
-            ("vit", "vit_base_bs128_train_images_per_sec_per_chip", 128, 224),
-            ("vit", "vit_base_bs256_train_images_per_sec_per_chip", 256, 224),
-            # windowed attention: exercises the fused Swin kernel
-            ("swin", "swin_tiny_train_images_per_sec_per_chip", 128, 224),
-        ):
-            t0 = time.perf_counter()
-            try:
-                emit(bench_model(name, metric, batch, img))
-            except Exception as e:  # secondary benches must not kill the headline
-                emit({"metric": metric, "value": 0.0,
-                      "unit": "images/sec/chip", "vs_baseline": 0.0,
-                      "error": str(e)[:200]})
-            print(f"# {metric}: {time.perf_counter() - t0:.0f}s",
-                  file=sys.stderr, flush=True)
-        # serving path: bf16 vs dynamic-int8 forward on the flagship
-        try:
-            for r in bench_inference_int8():
-                emit(r)
-        except Exception as e:
-            emit({"metric": "mobilevit_v2_infer_int8_images_per_sec_per_chip",
-                  "value": 0.0, "unit": "images/sec/chip",
-                  "vs_baseline": 0.0, "error": str(e)[:200]})
+    def note(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
+    # ---- FLAGSHIP FIRST: the headline line must exist whatever happens ----
     flagship = bench_model(
         "mobilevit_v2", "mobilevit_v2_1.0_train_images_per_sec_per_chip",
         128, 256, iters=30)
-    if os.environ.get("BENCH_SKIP_LOADER_FED", "0") != "1":
-        try:
-            for r in bench_loader_fed(resident_rate=flagship["value"]):
-                emit(r)
-        except Exception as e:
-            emit({
-                "metric": "loader_fed_mobilevit_v2_train_images_per_sec_per_chip",
-                "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
-                "error": str(e)[:200]})
     emit(flagship)
+    note(f"flagship: {time.perf_counter() - t_start:.0f}s elapsed")
+
+    # ---- loader-fed (the second driver-required line), time-boxed ----
+    if os.environ.get("BENCH_SKIP_LOADER_FED", "0") != "1" \
+            and os.environ.get("BENCH_FLAGSHIP_ONLY", "0") != "1":
+        if remaining() > 240:
+            try:
+                for r in bench_loader_fed(resident_rate=flagship["value"]):
+                    emit(r)
+            except Exception as e:
+                emit({
+                    "metric":
+                        "loader_fed_mobilevit_v2_train_images_per_sec_per_chip",
+                    "value": 0.0, "unit": "images/sec/chip",
+                    "vs_baseline": 0.0, "error": str(e)[:200]})
+        else:
+            note(f"loader_fed SKIPPED: {remaining():.0f}s left < 240s estimate")
+        note(f"loader_fed: {time.perf_counter() - t_start:.0f}s elapsed")
+
+    # ---- budget-gated secondaries (perf tracking beyond the flagship) ----
+    if os.environ.get("BENCH_FLAGSHIP_ONLY", "0") != "1":
+        def gated(est_s, label, fn):
+            if remaining() < est_s:
+                note(f"{label} SKIPPED: {remaining():.0f}s left <"
+                     f" {est_s:.0f}s estimate")
+                return
+            t0 = time.perf_counter()
+            try:
+                out = fn()
+                for r in (out if isinstance(out, list) else [out]):
+                    emit(r)
+            except Exception as e:
+                emit({"metric": label, "value": 0.0,
+                      "unit": "images/sec/chip", "vs_baseline": 0.0,
+                      "error": str(e)[:200]})
+            note(f"{label}: {time.perf_counter() - t0:.0f}s")
+
+        gated(230, "resnet_50_train_images_per_sec_per_chip",
+              lambda: bench_model(
+                  "resnet", "resnet_50_train_images_per_sec_per_chip",
+                  128, 224))
+        gated(170, "vit_base_train_images_per_sec_per_chip",
+              lambda: bench_model(
+                  "vit", "vit_base_train_images_per_sec_per_chip", 128, 224))
+        # serving path: bf16 vs prequantized-int8 forward on the
+        # compute-bound ViT-B (where the 2x s8 MXU rate can show) + the
+        # BW-bound flagship (weight-only int8)
+        gated(200, "int8_serving",
+              lambda: bench_inference_int8("vit", batch=128, img=224)
+              + bench_inference_int8("mobilevit_v2", batch=256, img=256))
+        # windowed attention (exercises the Swin path); most expensive
+        # compile in the suite, so it runs last and only with headroom
+        gated(440, "swin_tiny_train_images_per_sec_per_chip",
+              lambda: bench_model(
+                  "swin", "swin_tiny_train_images_per_sec_per_chip",
+                  128, 224, iters=16))
+
+    # ---- re-emit flagship LAST so a final-line parse records the headline
+    emit(flagship)
+    note(f"total: {time.perf_counter() - t_start:.0f}s")
 
 
 if __name__ == "__main__":

@@ -49,12 +49,20 @@ class ConvLayer2d(nn.Module):
         k = _pair(self.kernel_size)
         d = _pair(self.dilation)
         pad = tuple(((kk - 1) // 2 * dd, (kk - 1) // 2 * dd) for kk, dd in zip(k, d))
-        from cvnets_tpu.quantization import Int8Conv, int8_inference_enabled
+        from cvnets_tpu.quantization import (
+            Int8Conv,
+            int8_inference_enabled,
+            int8_mode,
+        )
 
-        if int8_inference_enabled(self.opts) and not training:
+        # int8 swap only for dense (groups==1) convs: depthwise convs carry
+        # negligible FLOPs/bytes, so quantization overhead outweighs any gain
+        if int8_inference_enabled(self.opts) and not training \
+                and self.groups == 1:
             # --common.int8-inference: same param tree ("conv/kernel[,bias]"),
-            # dynamic-int8 forward on the MXU's s8 path (2x bf16 rate)
+            # int8 forward (see cvnets_tpu/quantization for the modes)
             x = Int8Conv(
+                mode=int8_mode(self.opts),
                 features=self.out_channels,
                 kernel_size=k,
                 strides=_pair(self.stride),

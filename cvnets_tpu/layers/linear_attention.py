@@ -37,12 +37,15 @@ class LinearSelfAttention(nn.Module):
     ) -> jnp.ndarray:
         """x: (B, P, N, C) patches-last-channels tensor. x_prev enables cross-attention
         (reference _forward_cross_attn, linear_attention.py:163-207)."""
+        from cvnets_tpu.quantization import quant_dense
+
         d = self.embed_dim
         init = conv_init(self.opts)
         dt = compute_dtype(self.opts)
 
-        qkv_proj = nn.Dense(1 + 2 * d, use_bias=self.bias, kernel_init=init,
-                            dtype=dt, name="qkv_proj")
+        qkv_proj = quant_dense(self.opts, training, 1 + 2 * d,
+                               use_bias=self.bias, kernel_init=init,
+                               dtype=dt, name="qkv_proj")
         if x_prev is None:
             qkv = qkv_proj(x)
             query, key, value = jnp.split(qkv, [1, 1 + d], axis=-1)
@@ -72,5 +75,6 @@ class LinearSelfAttention(nn.Module):
             # context vector: weighted sum of keys over tokens -> (B, P, 1, C)
             context = jnp.sum(key * scores, axis=-2, keepdims=True)
             out = nn.relu(value) * context
-        out = nn.Dense(d, use_bias=self.bias, kernel_init=init, dtype=dt, name="out_proj")(out)
+        out = quant_dense(self.opts, training, d, use_bias=self.bias,
+                          kernel_init=init, dtype=dt, name="out_proj")(out)
         return out

@@ -19,21 +19,15 @@ class LinearLayer(nn.Module):
     bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from cvnets_tpu.quantization import Int8Dense, int8_inference_enabled
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        from cvnets_tpu.quantization import quant_dense
 
-        if int8_inference_enabled(self.opts):
-            # --common.int8-inference (inference-only flag): dynamic-int8
-            # matmul, identical param tree ("linear/kernel[,bias]")
-            return Int8Dense(
-                features=self.out_features,
-                use_bias=self.bias,
-                kernel_init=linear_init(self.opts),
-                dtype=compute_dtype(self.opts),
-                name="linear",
-            )(x)
-        return nn.Dense(
-            features=self.out_features,
+        # quant_dense swaps in Int8Dense (identical param tree,
+        # "linear/kernel[,bias]") only when --common.int8-inference is set AND
+        # this is an inference pass — mirroring ConvLayer2d's training gate so
+        # no gradient path ever trains through jnp.round
+        return quant_dense(
+            self.opts, training, self.out_features,
             use_bias=self.bias,
             kernel_init=linear_init(self.opts),
             dtype=compute_dtype(self.opts),

@@ -41,13 +41,18 @@ class MultiHeadAttention(nn.Module):
         hd = d // h
         assert hd * h == d, "embed_dim must be divisible by num_heads"
 
+        from cvnets_tpu.quantization import quant_dense
+
         qkv_init = linear_init(self.opts)
         dt = compute_dtype(self.opts)
         # One fused qkv projection (reference multi_head_attention.py keeps a single
         # qkv_proj Linear): a single (d, 3d) matmul tiles better on the MXU than three
         # (d, d) ones, and keeps torch-checkpoint enumeration order identical.
-        qkv_proj = nn.Dense(
-            3 * d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="qkv_proj"
+        # quant_dense routes qkv/out through the int8 path at inference when
+        # --common.int8-inference is set (same param tree).
+        qkv_proj = quant_dense(
+            self.opts, training, 3 * d, use_bias=self.bias,
+            kernel_init=qkv_init, dtype=dt, name="qkv_proj"
         )
         if x_kv is x_q:
             q, k, v = jnp.split(qkv_proj(x_q), 3, axis=-1)
@@ -89,13 +94,15 @@ class MultiHeadAttention(nn.Module):
                 mesh = get_active_mesh()
                 if ring_attention_eligible(mesh, nq, MODEL_AXIS):
                     out = ring_attention(q * scale, k, v, h, mesh, km)
-                    return nn.Dense(d, use_bias=self.bias,
-                                    kernel_init=qkv_init, dtype=dt,
-                                    name="out_proj")(out)
+                    return quant_dense(self.opts, training, d,
+                                       use_bias=self.bias,
+                                       kernel_init=qkv_init, dtype=dt,
+                                       name="out_proj")(out)
             if fused_attention_eligible(nq, d):
                 out = fused_mha_attention(q * scale, k, v, h, km)
-                return nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init,
-                                dtype=dt, name="out_proj")(out)
+                return quant_dense(self.opts, training, d, use_bias=self.bias,
+                                   kernel_init=qkv_init, dtype=dt,
+                                   name="out_proj")(out)
         q = q.reshape(b, nq, h, hd)
         k = k.reshape(b, nk, h, hd)
         v = v.reshape(b, nk, h, hd)
@@ -109,7 +116,8 @@ class MultiHeadAttention(nn.Module):
         if self.attn_dropout > 0:
             attn = nn.Dropout(rate=self.attn_dropout, deterministic=not training)(attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, nq, d)
-        return nn.Dense(d, use_bias=self.bias, kernel_init=qkv_init, dtype=dt, name="out_proj")(out)
+        return quant_dense(self.opts, training, d, use_bias=self.bias,
+                           kernel_init=qkv_init, dtype=dt, name="out_proj")(out)
 
 
 SingleHeadAttention = MultiHeadAttention  # num_heads=1

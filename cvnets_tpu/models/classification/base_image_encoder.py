@@ -242,13 +242,16 @@ class Classifier(nn.Module):
         from cvnets_tpu.layers.dtype_utils import compute_dtype
         from cvnets_tpu.layers.init_utils import linear_init
 
+        from cvnets_tpu.quantization import quant_dense
+
         pool_type = getattr(self.opts, "model.layer.global_pool", "mean")
         x = GlobalPool(pool_type=pool_type, name="global_pool")(x)
         if self.dropout > 0.0:
             x = nn.Dropout(rate=self.dropout, deterministic=not training)(x)
-        return nn.Dense(
-            self.n_classes, use_bias=self.bias,
-            kernel_init=linear_init(self.opts), dtype=compute_dtype(self.opts), name="fc",
+        return quant_dense(
+            self.opts, training, self.n_classes, use_bias=self.bias,
+            kernel_init=linear_init(self.opts), dtype=compute_dtype(self.opts),
+            name="fc",
         )(x)
 
 

@@ -213,8 +213,11 @@ class ByteFormer(BaseAnyNNModel):
         keep = (~mask).astype(h.dtype)[..., None]
         pooled = jnp.sum(h * keep, axis=1) / jnp.maximum(
             jnp.sum(keep, axis=1), 1.0)
-        return nn.Dense(self.n_classes, kernel_init=linear_init(opts),
-                        dtype=compute_dtype(opts), name="classifier")(pooled)
+        from cvnets_tpu.quantization import quant_dense
+
+        return quant_dense(opts, training, self.n_classes,
+                           kernel_init=linear_init(opts),
+                           dtype=compute_dtype(opts), name="classifier")(pooled)
 
     def dummy_input_and_label(self, batch_size: int) -> Dict[str, Any]:
         seq = if_test_env(

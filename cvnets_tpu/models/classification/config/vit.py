@@ -6,6 +6,9 @@ from typing import Dict
 from cvnets_tpu.utils import logger
 
 _MODES = {
+    # "micro" is a TPU-rebuild extra (no reference analog): a CI/dryrun-scale
+    # variant so multi-chip layout checks compile in seconds on 1-core hosts
+    "micro": (64, 2, 4, 0.0),
     "tiny": (192, 12, 3, 0.1),
     "small": (384, 12, 6, 0.0),
     "base": (768, 12, 12, 0.0),

@@ -145,12 +145,16 @@ class MobileNetV3Classifier(nn.Module):
         from cvnets_tpu.layers.init_utils import linear_init
         from cvnets_tpu.layers.pool import GlobalPool
 
+        from cvnets_tpu.quantization import quant_dense
+
         pool_type = getattr(self.opts, "model.layer.global_pool", "mean")
         x = GlobalPool(pool_type=pool_type, name="global_pool")(x)
-        x = nn.Dense(self.hidden_dim, kernel_init=linear_init(self.opts),
-                     dtype=compute_dtype(self.opts), name="fc1")(x)
+        x = quant_dense(self.opts, training, self.hidden_dim,
+                        kernel_init=linear_init(self.opts),
+                        dtype=compute_dtype(self.opts), name="fc1")(x)
         x = build_act_layer(self.opts, act_name="hard_swish")(x)
         if self.dropout > 0:
             x = nn.Dropout(rate=self.dropout, deterministic=not training)(x)
-        return nn.Dense(self.n_classes, kernel_init=linear_init(self.opts),
-                        dtype=compute_dtype(self.opts), name="fc2")(x)
+        return quant_dense(self.opts, training, self.n_classes,
+                           kernel_init=linear_init(self.opts),
+                           dtype=compute_dtype(self.opts), name="fc2")(x)

@@ -76,10 +76,14 @@ class SwinTransformer(BaseImageEncoder):
         return self._classify(ep["out_l5"], training)
 
     def _classify(self, x, training):
+        from cvnets_tpu.quantization import quant_dense
+
         x = nn.LayerNorm(epsilon=1e-5, name="post_norm")(x)
         x = jnp.mean(x, axis=(1, 2))
-        return nn.Dense(self.n_classes, kernel_init=linear_init(self.opts),
-                        dtype=compute_dtype(self.opts), name="classifier")(x)
+        return quant_dense(self.opts, training, self.n_classes,
+                           kernel_init=linear_init(self.opts),
+                           dtype=compute_dtype(self.opts),
+                           name="classifier")(x)
 
     def _forward_stages(self, x, training) -> Dict[str, jnp.ndarray]:
         opts = self.opts

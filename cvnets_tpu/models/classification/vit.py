@@ -173,9 +173,12 @@ class VisionTransformer(BaseImageEncoder):
 
         from cvnets_tpu.layers.dtype_utils import compute_dtype
         from cvnets_tpu.layers.init_utils import linear_init
+        from cvnets_tpu.quantization import quant_dense
 
-        logits = nn.Dense(self.n_classes, kernel_init=linear_init(opts),
-                          dtype=compute_dtype(opts), name="classifier")(cls_embedding)
+        logits = quant_dense(opts, training, self.n_classes,
+                             kernel_init=linear_init(opts),
+                             dtype=compute_dtype(opts),
+                             name="classifier")(cls_embedding)
         if return_image_embeddings:
             emb = image_embedding.reshape(b, n_h, n_w, c)
             if not getattr(opts, "model.classification.vit.use_simple_fpn",

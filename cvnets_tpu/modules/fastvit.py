@@ -135,15 +135,19 @@ class AttentionBlock(nn.Module):
         tokens = y.reshape(b, h * w, c)
         dt = compute_dtype(self.opts)
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(3 * self.dim, kernel_init=linear_init(self.opts), dtype=dt,
-                       name="qkv")(tokens)
+        from cvnets_tpu.quantization import quant_dense
+
+        qkv = quant_dense(self.opts, training, 3 * self.dim,
+                          kernel_init=linear_init(self.opts), dtype=dt,
+                          name="qkv")(tokens)
         q, k, v = jnp.split(qkv.reshape(b, h * w, 3, self.num_heads, hd), 3, axis=2)
         q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
         logits = jnp.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k)
         attn = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h * w, self.dim)
-        out = nn.Dense(self.dim, kernel_init=linear_init(self.opts), dtype=dt,
-                       name="proj")(out).reshape(b, h, w, c)
+        out = quant_dense(self.opts, training, self.dim,
+                          kernel_init=linear_init(self.opts), dtype=dt,
+                          name="proj")(out).reshape(b, h, w, c)
         if ls1 is not None:
             out = ls1.astype(out.dtype) * out
         out = StochasticDepth(p=self.stochastic_depth_prob)(out, training=training)

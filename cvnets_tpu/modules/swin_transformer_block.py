@@ -74,9 +74,12 @@ class WindowAttention(nn.Module):
         bnw, n, c = x.shape
         h = self.num_heads
         hd = self.dim // h
+        from cvnets_tpu.quantization import quant_dense
+
         dt = compute_dtype(self.opts)
-        qkv = nn.Dense(3 * self.dim, use_bias=True, kernel_init=linear_init(self.opts),
-                       dtype=dt, name="qkv")(x)
+        qkv = quant_dense(self.opts, training, 3 * self.dim, use_bias=True,
+                          kernel_init=linear_init(self.opts),
+                          dtype=dt, name="qkv")(x)
         # thirds of the fused projection keep the (bnw, n, H·D) packed-head
         # layout the fused kernel consumes; the einsum path reshapes below
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -97,7 +100,8 @@ class WindowAttention(nn.Module):
             window_attention_eligible,
         )
 
-        if (_use_pallas() and window_attention_eligible(n, self.dim)
+        if (getattr(self.opts, "model.enable_pallas_kernels", True)
+                and _use_pallas() and window_attention_eligible(n, self.dim)
                 and (self.attn_dropout == 0 or not training)):
             out = fused_window_attention(q * hd**-0.5, k, v, h, bias, mask)
         else:
@@ -116,8 +120,9 @@ class WindowAttention(nn.Module):
                                   deterministic=not training)(attn)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(
                 bnw, n, self.dim)
-        out = nn.Dense(self.dim, kernel_init=linear_init(self.opts), dtype=dt,
-                       name="proj")(out)
+        out = quant_dense(self.opts, training, self.dim,
+                          kernel_init=linear_init(self.opts), dtype=dt,
+                          name="proj")(out)
         if self.proj_dropout > 0:
             out = nn.Dropout(rate=self.proj_dropout, deterministic=not training)(out)
         return out
@@ -173,10 +178,13 @@ class SwinTransformerBlock(nn.Module):
         y = StochasticDepth(p=self.stochastic_depth_prob)(y, training=training)
         x = shortcut + y
 
+        from cvnets_tpu.quantization import quant_dense
+
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         dt = compute_dtype(self.opts)
-        y = nn.Dense(int(self.dim * self.mlp_ratio),
-                     kernel_init=linear_init(self.opts), dtype=dt, name="mlp_fc1")(y)
+        y = quant_dense(self.opts, training, int(self.dim * self.mlp_ratio),
+                        kernel_init=linear_init(self.opts), dtype=dt,
+                        name="mlp_fc1")(y)
         # the MLP activation comes from the model config (reference builds it
         # from opts model.activation.name; swin recipes set gelu)
         from cvnets_tpu.layers.activation import build_act_layer
@@ -184,8 +192,9 @@ class SwinTransformerBlock(nn.Module):
         y = build_act_layer(self.opts)(y)
         if self.dropout > 0:
             y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
-        y = nn.Dense(self.dim, kernel_init=linear_init(self.opts), dtype=dt,
-                     name="mlp_fc2")(y)
+        y = quant_dense(self.opts, training, self.dim,
+                        kernel_init=linear_init(self.opts), dtype=dt,
+                        name="mlp_fc2")(y)
         if self.dropout > 0:
             y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
         y = StochasticDepth(p=self.stochastic_depth_prob)(y, training=training)

@@ -65,15 +65,19 @@ class TransformerEncoder(nn.Module):
             y = StochasticDepth(p=self.stochastic_dropout)(y, training=training)
         x = x + y
         # ffn
+        from cvnets_tpu.quantization import quant_dense
+
         y = _norm(self.opts, self.transformer_norm_layer, "pre_norm_ffn", self.norm_eps)(x)
-        y = nn.Dense(self.ffn_latent_dim, kernel_init=linear_init(self.opts),
-                     dtype=dt, name="ffn_fc1")(y)
+        y = quant_dense(self.opts, training, self.ffn_latent_dim,
+                        kernel_init=linear_init(self.opts),
+                        dtype=dt, name="ffn_fc1")(y)
         act = build_act_layer(self.opts, act_name=self.act_name)
         y = act(y)
         if self.ffn_dropout > 0:
             y = nn.Dropout(rate=self.ffn_dropout, deterministic=not training)(y)
-        y = nn.Dense(self.embed_dim, kernel_init=linear_init(self.opts),
-                     dtype=dt, name="ffn_fc2")(y)
+        y = quant_dense(self.opts, training, self.embed_dim,
+                        kernel_init=linear_init(self.opts),
+                        dtype=dt, name="ffn_fc2")(y)
         if self.dropout > 0:
             y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
         if self.stochastic_dropout > 0:
@@ -106,14 +110,18 @@ class LinearAttnFFN(nn.Module):
             y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
         x = x + y
 
+        from cvnets_tpu.quantization import quant_dense
+
         y = _norm(self.opts, self.norm_layer, "pre_norm_ffn")(x)
-        y = nn.Dense(self.ffn_latent_dim, use_bias=True,
-                     kernel_init=linear_init(self.opts), dtype=dt, name="ffn_fc1")(y)
+        y = quant_dense(self.opts, training, self.ffn_latent_dim, use_bias=True,
+                        kernel_init=linear_init(self.opts), dtype=dt,
+                        name="ffn_fc1")(y)
         y = build_act_layer(self.opts)(y)
         if self.ffn_dropout > 0:
             y = nn.Dropout(rate=self.ffn_dropout, deterministic=not training)(y)
-        y = nn.Dense(self.embed_dim, use_bias=True,
-                     kernel_init=linear_init(self.opts), dtype=dt, name="ffn_fc2")(y)
+        y = quant_dense(self.opts, training, self.embed_dim, use_bias=True,
+                        kernel_init=linear_init(self.opts), dtype=dt,
+                        name="ffn_fc2")(y)
         if self.dropout > 0:
             y = nn.Dropout(rate=self.dropout, deterministic=not training)(y)
         return x + y

@@ -33,9 +33,18 @@ def arguments_common(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     group.add_argument("--common.mixed-precision", action="store_true")
     group.add_argument(
         "--common.int8-inference", action="store_true",
-        help="Dynamic-int8 conv/linear forward (inference only; MXU s8 path "
-             "runs at 2x the bf16 rate on v5e). Param tree is unchanged, so "
-             "float checkpoints load directly.",
+        help="Int8 conv/linear forward (inference only). Param tree is "
+             "unchanged, so float checkpoints load directly; serving should "
+             "prequantize via quantization.prequantize_variables.",
+    )
+    group.add_argument(
+        "--common.int8-mode", type=str, default="dynamic",
+        choices=("dynamic", "weight-only"),
+        help="int8 scheme: 'dynamic' = s8xs8->s32 MXU matmuls with dynamic "
+             "per-row/per-sample activation scales (compute-bound models); "
+             "'weight-only' = int8 weight storage dequantized into bf16 "
+             "matmuls, halving parameter HBM traffic (bandwidth-bound "
+             "models).",
     )
     group.add_argument(
         "--common.mixed-precision-dtype",
