@@ -501,9 +501,9 @@ def main() -> None:
         gated(200, "int8_serving",
               lambda: bench_inference_int8("vit", batch=128, img=224)
               + bench_inference_int8("mobilevit_v2", batch=256, img=256))
-        # windowed attention (exercises the Swin path); most expensive
-        # compile in the suite, so it runs last and only with headroom
-        gated(440, "swin_tiny_train_images_per_sec_per_chip",
+        # windowed attention via the XLA einsum path (the Pallas window
+        # kernel lost the v5e A/B and is disabled — docs/perf/PROFILE-swin.md)
+        gated(260, "swin_tiny_train_images_per_sec_per_chip",
               lambda: bench_model(
                   "swin", "swin_tiny_train_images_per_sec_per_chip",
                   128, 224, iters=16))

@@ -49,8 +49,29 @@ except Exception:  # pragma: no cover
 _MAX_SEQ = 512        # (S, S) f32 logits per head must fit VMEM
 _MAX_EMBED = 1024
 
+# Disabled by default after an A/B on real v5e hardware (2026-08-18, Swin-T
+# train step, batch 128 @ 224px, scan-8, value readback):
+#   XLA einsum path:   844 img/s, 151.6 ms/step, 123.5 GB/step — 0.994 of its
+#                      own bytes-roofline (XLA is AT speed-of-light for the
+#                      bytes it moves)
+#   this kernel:       641 img/s, 199.7 ms/step,  93.9 GB/step — 0.574 of its
+#                      bytes-roofline
+# The kernel removes 24% of step bytes (logits stay in VMEM) but executes the
+# tiny (49, 49) per-window tiles at well under half the practical bandwidth —
+# 49 tokens fill 38% of the 128-lane registers and the per-head D=32
+# contraction uses a quarter of the MXU's k dim, so the saved HBM traffic is
+# more than given back in execution inefficiency. Winning here needs
+# multi-window packing (block-diagonal logits over ~8 packed windows) to fill
+# the tiles; until that exists, honest eligibility is False.
+# Full writeup: docs/perf/PROFILE-swin.md. Re-enable for experiments with
+# CVNETS_TPU_FORCE_WINDOW_KERNEL=1.
+
 
 def window_attention_eligible(seq: int, embed: int) -> bool:
+    import os
+
+    if os.environ.get("CVNETS_TPU_FORCE_WINDOW_KERNEL", "0") != "1":
+        return False
     return _PALLAS_OK and seq <= _MAX_SEQ and embed <= _MAX_EMBED
 
 

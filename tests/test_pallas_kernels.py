@@ -387,7 +387,11 @@ def test_window_attn_kernel_interpret_mode():
 
 def test_window_attn_layer_routes_through_kernel():
     """SwinTransformerBlock output is identical through the fused kernel
-    (interpret) and the einsum path, for both W-MSA and SW-MSA."""
+    (interpret, forced via the env escape hatch — the kernel is disabled by
+    default after losing the v5e A/B, docs/perf/PROFILE-swin.md) and the
+    einsum path, for both W-MSA and SW-MSA."""
+    import os
+
     import cvnets_tpu.ops.pallas.mha_attn as M
     from cvnets_tpu.modules.swin_transformer_block import SwinTransformerBlock
     from cvnets_tpu.options.opts import get_training_arguments
@@ -404,9 +408,11 @@ def test_window_attn_layer_routes_through_kernel():
         y_einsum = blk.apply(variables, x)
         try:
             M._INTERPRET = True
+            os.environ["CVNETS_TPU_FORCE_WINDOW_KERNEL"] = "1"
             y_kernel = blk.apply(variables, x)
         finally:
             M._INTERPRET = False
+            os.environ.pop("CVNETS_TPU_FORCE_WINDOW_KERNEL", None)
         np.testing.assert_allclose(np.asarray(y_kernel),
                                    np.asarray(y_einsum), atol=2e-5)
 
