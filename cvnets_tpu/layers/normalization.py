@@ -37,6 +37,76 @@ SYNC_BN_AXIS_NAME = "data"
 NORM_PARAM_FREEZE_REGEX = r"(^|/)[^/]*norm[^/]*/(scale|bias)$"
 
 
+class TorchBatchNorm(nn.BatchNorm):
+    """flax BatchNorm with torch's running-VAR update semantics.
+
+    torch normalizes with the biased batch variance but tracks the UNBIASED
+    variance (Bessel-corrected, ``var * n/(n-1)``) in ``running_var``
+    (torch _BatchNorm docs; reference models train under this convention, so
+    eval-after-training parity requires it). flax's stock BatchNorm tracks the
+    biased variance — a small (~1/n) but systematic drift vs every torch
+    checkpoint trained with our Trainer."""
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None, *, mask=None):
+        from flax.linen import module as _module
+        from flax.linen.normalization import (
+            _canonicalize_axes,
+            _compute_stats,
+            _normalize,
+        )
+
+        use_running_average = _module.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), feature_shape)
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), feature_shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = _compute_stats(
+                x, reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=mask,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                if self.axis_name is not None:
+                    import jax as _jax
+
+                    n = n * _jax.lax.psum(1, self.axis_name)
+                bessel = n / max(n - 1, 1)
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var * bessel
+                )
+
+        return _normalize(
+            self, x, mean, var, reduction_axes, feature_axes,
+            self.dtype, self.param_dtype, self.epsilon,
+            self.use_bias, self.use_scale, self.bias_init, self.scale_init,
+            self.force_float32_reductions,
+        )
+
+
 class FrozenBatchNorm(nn.BatchNorm):
     """BatchNorm pinned to its running statistics (torch ``m.eval()`` under
     the reference's freeze_norm_layers, base_model.py:140-156). Call sites
@@ -90,11 +160,11 @@ def get_normalization_layer(
     # fail under jit with "unbound axis name".
     if norm_type in ("batch_norm", "batch_norm_2d", "batch_norm_1d", "batch_norm_3d",
                      "sync_batch_norm"):
-        bn_cls = FrozenBatchNorm if norms_frozen(opts) else nn.BatchNorm
+        bn_cls = FrozenBatchNorm if norms_frozen(opts) else TorchBatchNorm
         return bn_cls(momentum=flax_momentum, epsilon=eps,
                       use_running_average=None, dtype=dt)
     if norm_type == "sync_batch_norm_fp32":
-        bn_cls = FrozenBatchNorm if norms_frozen(opts) else nn.BatchNorm
+        bn_cls = FrozenBatchNorm if norms_frozen(opts) else TorchBatchNorm
         return bn_cls(momentum=flax_momentum, epsilon=eps,
                       use_running_average=None, dtype=jnp.float32)
     if norm_type == "layer_norm":

@@ -19,7 +19,11 @@ def get_configuration(opts):
     wm = getattr(opts, "model.classification.mobilenetv1.width_multiplier", 1.0)
 
     def c(ch):
-        return make_divisible(int(ch * wm), 16)
+        # ceil-before-divisible matches the reference exactly for fractional
+        # products (reference config/mobilenetv1.py:16)
+        import math
+
+        return make_divisible(int(math.ceil(ch * wm)), 16)
 
     return {
         "conv1_out": c(32),
@@ -75,8 +79,16 @@ class MobileNetV1(BaseImageEncoder):
 
         self.conv_1x1_exp = None
         conf["exp_before_cls"] = {"in": in_ch, "out": in_ch}
+        # reference auto-enables classifier dropout when the flag is 0:
+        # bound(0, 0.1, round(0.1*wm, 3)) (reference mobilenetv1.py:36-44)
+        from cvnets_tpu.utils.math_utils import bound_fn
+
+        wm = getattr(opts, "model.classification.mobilenetv1.width_multiplier", 1.0)
+        cls_dropout = self.classifier_dropout
+        if not cls_dropout:
+            cls_dropout = bound_fn(0.0, 0.1, round(0.1 * wm, 3))
         self.classifier = Classifier(opts=opts, n_classes=self.n_classes,
-                                     dropout=self.classifier_dropout)
+                                     dropout=cls_dropout)
         conf["cls"] = {"in": in_ch, "out": self.n_classes}
         self.model_conf_dict = conf
         from cvnets_tpu.models.neural_augmentor.neural_aug import build_neural_augmentor

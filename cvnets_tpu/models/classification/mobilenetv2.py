@@ -42,14 +42,16 @@ class MobileNetV2(BaseImageEncoder):
         wm = getattr(opts, "model.classification.mobilenetv2.width_multiplier", 1.0)
         cfg = get_configuration(opts)
 
-        image_channels = make_divisible(int(32 * wm), 8)
+        # the reference does NOT width-scale the stem: conv_1 is 32 channels at
+        # every multiplier (reference mobilenetv2.py:35 ``input_channels = 32``)
+        stem_channels = 32
         self.conv_1 = ConvLayer2d(
-            opts=opts, out_channels=image_channels, kernel_size=3, stride=2,
+            opts=opts, out_channels=stem_channels, kernel_size=3, stride=2,
             use_norm=True, use_act=True,
         )
-        conf = {"conv1": {"in": 3, "out": image_channels}}
+        conf = {"conv1": {"in": 3, "out": stem_channels}}
 
-        in_ch = image_channels
+        in_ch = stem_channels
         dilation = 1
         stages = {}
         for stage_name, rows in (
@@ -63,7 +65,9 @@ class MobileNetV2(BaseImageEncoder):
             stage_in = in_ch
             for row in rows:
                 c = cfg[row]
-                out_ch = make_divisible(int(c["out_channels"] * wm), 8)
+                # float in, round-to-nearest-8 (reference _make_layer passes
+                # ``c * width_mult`` unfloored into make_divisible)
+                out_ch = make_divisible(c["out_channels"] * wm, 8)
                 for i in range(c["num_blocks"]):
                     stride = c["stride"] if i == 0 else 1
                     dilate_now = False
@@ -93,13 +97,20 @@ class MobileNetV2(BaseImageEncoder):
         self.layer_4 = stages["layer_4"]
         self.layer_5 = stages["layer_5"]
 
-        last_ch = make_divisible(int(1280 * max(1.0, wm)), 8)
+        last_ch = make_divisible(1280 * max(1.0, wm), 8)
         self.conv_1x1_exp = ConvLayer2d(
             opts=opts, out_channels=last_ch, kernel_size=1, use_norm=True, use_act=True,
         )
         conf["exp_before_cls"] = {"in": in_ch, "out": last_ch}
+        # reference auto-enables classifier dropout when the flag is 0/None:
+        # bound(0, 0.2, round(0.2*wm, 3)) (reference mobilenetv2.py:38-43)
+        from cvnets_tpu.utils.math_utils import bound_fn
+
+        cls_dropout = self.classifier_dropout
+        if not cls_dropout:
+            cls_dropout = bound_fn(0.0, 0.2, round(0.2 * wm, 3))
         self.classifier = Classifier(
-            opts=opts, n_classes=self.n_classes, dropout=self.classifier_dropout,
+            opts=opts, n_classes=self.n_classes, dropout=cls_dropout,
         )
         conf["cls"] = {"in": last_ch, "out": self.n_classes}
         self.model_conf_dict = conf

@@ -38,7 +38,7 @@ def arguments_common(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
              "prequantize via quantization.prequantize_variables.",
     )
     group.add_argument(
-        "--common.int8-mode", type=str, default="dynamic",
+        "--common.int8-mode", type=str, default="weight-only",
         choices=("dynamic", "weight-only"),
         help="int8 scheme: 'dynamic' = s8xs8->s32 MXU matmuls with dynamic "
              "per-row/per-sample activation scales (compute-bound models); "

@@ -2,23 +2,28 @@
 
 No reference analog (the reference deploys via CoreML conversion,
 ``main_conversion.py:19`` + ``utils/pytorch_to_coreml.py:20``, and leaves
-quantization to coremltools). On TPU the MXU executes s8×s8→s32 matmuls and
-convolutions at twice the bf16 rate (v5e: ~394 TOPS int8 vs ~197 TFLOPs
-bf16), so an int8 path is the TPU-native deployment story.
+quantization to coremltools).
+
+Measured reality on v5e (docs/perf/PROFILE-int8.md): XLA's s8×s8→s32
+``dot_general`` runs at only **0.85–1.16× the bf16 rate** at transformer
+shapes — the nominal 2× int8 MXU rate is not reachable through this XLA
+lowering. The honest win is therefore **weight storage**: int8 kernels halve
+parameter HBM bytes, which pays on bandwidth-bound serving and model-memory
+capacity, not on MXU throughput.
 
 Two modes (``--common.int8-mode``), both enabled by ``--common.int8-inference``
 and both inference-only (the training path is untouched):
 
-* ``dynamic`` — s8×s8→s32 matmuls/convs on the MXU: weights per-output-channel
+* ``weight-only`` (**default**) — weights stored int8, dequantized to the
+  compute dtype in front of a bf16 matmul. Half the parameter HBM traffic,
+  float-identical activation math.
+* ``dynamic`` (opt-in) — s8×s8→s32 matmuls/convs: weights per-output-channel
   symmetric int8; activations quantized on device with **per-row** scales for
   matmuls (absmax over the contraction dim per token — a VPU reduction that
   fuses with the producing op, unlike a serializing per-tensor reduction) and
-  **per-sample** scales for convs (conv mixes H/W/C but never batch). Wins on
-  compute-bound models (ViT-class) where the 2× s8 MXU rate shows.
-* ``weight-only`` — weights stored int8 and dequantized to the compute dtype
-  in front of a bf16 matmul. Halves parameter HBM traffic with float-identical
-  activation math; the right mode for bandwidth-bound models (MobileViT-class,
-  where MXU utilization is low and int8 activation plumbing only adds bytes).
+  **per-sample** scales for convs (conv mixes H/W/C but never batch).
+  Measured ~0.96× bf16 on a ViT-B forward (break-even); kept for future XLA
+  versions where the s8 lowering improves — ``bench.py`` re-A/Bs it each round.
 
 Weight handling:
 
@@ -51,7 +56,7 @@ def int8_inference_enabled(opts: Any) -> bool:
 
 
 def int8_mode(opts: Any) -> str:
-    return getattr(opts, "common.int8_mode", MODE_DYNAMIC) or MODE_DYNAMIC
+    return getattr(opts, "common.int8_mode", MODE_WEIGHT_ONLY) or MODE_WEIGHT_ONLY
 
 
 def quantize_symmetric(
@@ -110,7 +115,7 @@ class Int8Conv(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Optional[Any] = None
-    mode: str = MODE_DYNAMIC
+    mode: str = MODE_WEIGHT_ONLY
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -169,7 +174,7 @@ class Int8Dense(nn.Module):
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Optional[Any] = None
-    mode: str = MODE_DYNAMIC
+    mode: str = MODE_WEIGHT_ONLY
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

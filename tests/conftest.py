@@ -12,6 +12,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# XLA:CPU lowers f32 convs/matmuls through low-precision fast paths by default
+# (measured 3e-3..6e-3 abs error vs torch on this AMX host) — every parity
+# tolerance in the suite assumes true f32, so pin it
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # persistent compilation cache: the suite is compile-bound on the 1-core CI
 # host; repeated runs (and re-runs after edits that don't touch a program)
 # hit the cache instead of re-lowering every model

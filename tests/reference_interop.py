@@ -148,7 +148,10 @@ def build_reference_model(opts, category: str = "classification"):
     """
     install_torchvision_stub()
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never insert at 0: the reference tree has top-level modules
+        # (main_train.py, main_eval.py, ...) that would shadow ours for every
+        # test running after a parity test in the same session
+        sys.path.append(REFERENCE_ROOT)
     from cvnets.models import get_model as ref_get_model  # noqa: reference import
 
     model = ref_get_model(opts, category=category)

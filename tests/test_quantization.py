@@ -2,7 +2,8 @@
 
 The reference deploys via CoreML and leaves quantization to coremltools
 (``utils/pytorch_to_coreml.py:20``); our TPU-native deployment path is
-dynamic-int8 on the MXU s8 pipe. These tests pin (a) op-level accuracy of
+int8 weight storage by default, with opt-in dynamic s8 matmuls
+(measured A/B in docs/perf/PROFILE-int8.md). These tests pin (a) op-level accuracy of
 the int8 kernels against their float twins, (b) that the param tree is
 byte-compatible with float checkpoints, (c) that whole-model logits stay
 close, and (d) that the lowered program really computes in int8."""
@@ -96,10 +97,13 @@ def test_int8_param_tree_matches_float_checkpoints():
 
 
 def test_int8_model_logits_close_and_program_is_int8():
+    """Dynamic mode requested explicitly: the default is weight-only
+    (measured A/B, docs/perf/PROFILE-int8.md), which computes in bf16."""
     from cvnets_tpu.models import get_model
 
     opts_f = _training_opts()
-    opts_q = _training_opts(("--common.int8-inference",))
+    opts_q = _training_opts(
+        ("--common.int8-inference", "--common.int8-mode", "dynamic"))
     model_f = get_model(opts_f)
     model_q = get_model(opts_q)
     rng = jax.random.PRNGKey(0)

@@ -133,6 +133,21 @@ def test_parity_mobilenetv1():
         "--model.classification.mobilenetv1.width-multiplier", "1.0"])
 
 
+def test_parity_mobilenetv1_w050():
+    """Non-1.0 width: catches stem/width-scaling drift (the r3 mnv2 bug —
+    the reference does NOT width-scale every stage the same way)."""
+    _run_parity("mobilenetv1", [
+        "--model.classification.mobilenetv1.width-multiplier", "0.5"])
+
+
+def test_parity_mobilenetv2_w050():
+    """Reference keeps conv_1 at 32 channels at every width multiplier
+    (reference mobilenetv2.py:35); width-1.0 testing cannot see this."""
+    _run_parity("mobilenetv2", [
+        "--model.classification.mobilenetv2.width-multiplier", "0.5",
+    ])
+
+
 def test_parity_mobilenetv3():
     _run_parity("mobilenetv3", [], hw=64)
 
