@@ -100,6 +100,7 @@ def test_fsdp_step_matches_pure_dp():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # integration-weight: full-suite tier (fast-tier wall-clock diet, VERDICT r2 #7)
 def test_fsdp_with_tp_step_matches_pure_dp():
     from jax.sharding import Mesh
 

@@ -140,6 +140,7 @@ def test_vit_moe_builds_and_aux_loss_trains():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # integration-weight: full-suite tier (fast-tier wall-clock diet, VERDICT r2 #7)
 def test_expert_parallel_matches_replicated():
     """dp x ep on a (data=2, model=4) mesh: expert stacks shard over 'model'
     (sharding_rules), the f32 loss matches the replicated run to 1e-4."""

@@ -75,6 +75,7 @@ def test_custom_vjp_matches_autodiff():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # integration-weight: full-suite tier (fast-tier wall-clock diet, VERDICT r2 #7)
 def test_mobilevitv2_with_kernel_flag_parity():
     """Model outputs identical with the kernel path on/off (CPU fallback path)."""
     from cvnets_tpu.models import get_model

@@ -94,6 +94,7 @@ def test_seg_head_norm_override_builds():
     assert "batch_stats" in v  # encoder BN running stats still present
 
 
+@pytest.mark.slow  # integration-weight: full-suite tier (fast-tier wall-clock diet, VERDICT r2 #7)
 def test_mask_rcnn_disable_fpn_builds():
     import jax
 
@@ -308,6 +309,9 @@ def test_layer_wise_lr_decay_all_encoders():
             "--model.classification.enable-layer-wise-lr-decay",
             "--model.classification.layer-wise-lr-decay-rate", "0.5",
             "--optim.name", "sgd", "--optim.sgd.momentum", "0",
+            # depth 18: the multiplier logic is depth-independent and the
+            # default resnet-50 init dominated the fast tier (VERDICT r2 #7)
+            "--model.classification.resnet.depth", "18",
         ])
         setattr(opts, "model.classification.mitv2.width_multiplier", 0.5)
         model = get_model(opts)

@@ -3,6 +3,8 @@ shard partitioning, constant-pixel-budget schedules, chain composition."""
 
 import argparse
 
+import pytest
+
 
 def _opts(**kw):
     from cvnets_tpu.options.opts import get_training_arguments
@@ -87,6 +89,7 @@ def test_chain_sampler_sequential():
     assert all(c == (64, 64) for c in crops[first64:])
 
 
+@pytest.mark.slow  # integration-weight: full-suite tier (fast-tier wall-clock diet, VERDICT r2 #7)
 def test_find_easy_samples_drops_indices_via_variable_sampler(tmp_path):
     """Sample-efficient training over the VariableBatchSampler contract
     (VERDICT r1 weak #10): confident samples must vanish from the schedule."""

@@ -102,6 +102,7 @@ def test_dp_tp_step_matches_pure_dp():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow  # integration-weight: full-suite tier (fast-tier wall-clock diet, VERDICT r2 #7)
 def test_dp_tp_step_matches_pure_dp_cnn():
     """Conv-channel TP on a CNN family (VERDICT r1 #6c): MobileNetV2's 1x1
     expand/project convs shard over the model axis, and the dp x tp training
