@@ -1,6 +1,11 @@
 # Developer targets (parity: reference Makefile test-all/format contract)
 
-.PHONY: test test-all test-fast bench graft-dryrun
+.PHONY: check test test-all test-fast bench graft-dryrun
+
+# Collection-only gate: seconds, no compiles. Run before every commit/snapshot
+# (round-3 regression: a @pytest.mark without `import pytest` killed the whole suite).
+check:
+	python -m pytest tests/ --collect-only -q
 
 test:
 	python -m pytest tests/ -x -q

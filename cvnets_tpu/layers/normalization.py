@@ -83,14 +83,29 @@ class TorchBatchNorm(nn.BatchNorm):
                 force_float32_reductions=self.force_float32_reductions,
             )
             if not self.is_initializing():
-                n = 1
-                for ax in reduction_axes:
-                    n *= x.shape[ax]
+                if mask is not None:
+                    # _compute_stats computed masked statistics; the Bessel
+                    # element count must match (torch raises on n<=1 — here a
+                    # masked-out batch degenerates to correction 1.0, which a
+                    # caller can detect from the all-False mask itself).
+                    bcast = jnp.broadcast_to(mask, x.shape)
+                    n = jnp.sum(bcast, axis=reduction_axes, dtype=jnp.float32)
+                else:
+                    n = 1
+                    for ax in reduction_axes:
+                        n *= x.shape[ax]
                 if self.axis_name is not None:
                     import jax as _jax
 
-                    n = n * _jax.lax.psum(1, self.axis_name)
-                bessel = n / max(n - 1, 1)
+                    # With axis_index_groups, only devices in this group
+                    # contribute elements to the group statistics.
+                    if self.axis_index_groups is not None:
+                        group_size = len(self.axis_index_groups[0])
+                    else:
+                        group_size = _jax.lax.psum(1, self.axis_name)
+                    n = n * group_size
+                bessel = jnp.maximum(n / jnp.maximum(n - 1, 1), 1.0) if mask is not None \
+                    else n / max(n - 1, 1)
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 )

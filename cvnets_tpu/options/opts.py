@@ -40,11 +40,12 @@ def arguments_common(parser: argparse.ArgumentParser) -> argparse.ArgumentParser
     group.add_argument(
         "--common.int8-mode", type=str, default="weight-only",
         choices=("dynamic", "weight-only"),
-        help="int8 scheme: 'dynamic' = s8xs8->s32 MXU matmuls with dynamic "
-             "per-row/per-sample activation scales (compute-bound models); "
-             "'weight-only' = int8 weight storage dequantized into bf16 "
-             "matmuls, halving parameter HBM traffic (bandwidth-bound "
-             "models).",
+        help="int8 scheme: 'weight-only' (default, the measured win — "
+             "docs/perf/PROFILE-int8.md): int8 weight storage dequantized "
+             "into bf16 matmuls, halving parameter HBM bytes; 'dynamic' "
+             "(opt-in tracking mode): s8xs8->s32 MXU matmuls with dynamic "
+             "per-row/per-sample activation scales — measured break-even vs "
+             "bf16 on the benched models.",
     )
     group.add_argument(
         "--common.mixed-precision-dtype",

@@ -6,6 +6,7 @@ interpret-mode below."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def _qkv(bp=4, n=32, c=128, seed=0):

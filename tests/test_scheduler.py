@@ -99,7 +99,10 @@ def test_adjust_period_for_epochs_matches_reference():
     if not reference_available():
         pytest.skip("reference checkout unavailable")
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # append, not insert(0): the reference tree has top-level main_train.py
+        # / config/ / options/ modules that would shadow the repo's for the
+        # rest of the pytest session (matches reference_interop.py).
+        sys.path.append(REFERENCE_ROOT)
     from optim.scheduler.cosine import CosineScheduler as RefCosine
     from optim.scheduler.polynomial import PolynomialScheduler as RefPoly
 
