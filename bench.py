@@ -445,6 +445,55 @@ def bench_loader_fed(resident_rate: float, batch: int = 128, img: int = 256,
     ]
 
 
+COST_FILE = "/tmp/cvnets_tpu_bench_costs.json"
+
+
+class SectionTimeout(Exception):
+    """Raised by the SIGALRM hard cap when a section overruns."""
+
+
+def _load_costs() -> dict:
+    import os
+
+    try:
+        if os.path.exists(COST_FILE):
+            with open(COST_FILE) as f:
+                return json.load(f)
+    except Exception:
+        pass
+    return {}
+
+
+def _save_cost(label: str, measured_s: float) -> None:
+    costs = _load_costs()
+    costs[label] = round(measured_s, 1)
+    try:
+        with open(COST_FILE, "w") as f:
+            json.dump(costs, f)
+    except Exception:
+        pass
+
+
+def _run_capped(fn, cap_s: float):
+    """Run fn() with a SIGALRM wall-clock hard cap (VERDICT r3 #2: estimates
+    were advisory — checked before a section, never enforced during it — so
+    one bad estimate starved everything behind it). Best-effort: delivery is
+    deferred while control sits inside a C call, but axon RPC waits return to
+    Python regularly."""
+    import signal
+
+    def handler(signum, frame):
+        raise SectionTimeout()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.setitimer(signal.ITIMER_REAL, cap_s)
+    try:
+        return fn()
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main() -> None:
     import os
     import sys
@@ -455,6 +504,7 @@ def main() -> None:
     _enable_persistent_compile_cache()
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    costs = _load_costs()
 
     def remaining() -> float:
         return budget - (time.perf_counter() - t_start)
@@ -467,57 +517,77 @@ def main() -> None:
     def note(msg):
         print(f"# {msg}", file=sys.stderr, flush=True)
 
+    def estimate(label: str, static_s: float) -> float:
+        """max(previous_measured x 1.2, small floor); falls back to the
+        static estimate when no history exists (VERDICT r3 #9). A warm
+        persistent compile cache makes repeat runs far cheaper than the
+        static cold-compile estimates, so history dominates when present."""
+        prev = costs.get(label)
+        if prev is not None:
+            est = max(prev * 1.2, 30.0)
+            note(f"{label}: est {est:.0f}s (measured {prev:.0f}s last run)")
+        else:
+            est = static_s
+            note(f"{label}: est {est:.0f}s (static, no history)")
+        return est
+
     # ---- FLAGSHIP FIRST: the headline line must exist whatever happens ----
+    # Never gated, never capped.
+    t0 = time.perf_counter()
     flagship = bench_model(
         "mobilevit_v2", "mobilevit_v2_1.0_train_images_per_sec_per_chip",
         128, 256, iters=30)
     emit(flagship)
+    _save_cost("flagship", time.perf_counter() - t0)
     note(f"flagship: {time.perf_counter() - t_start:.0f}s elapsed")
+
+    def gated(static_est_s, label, fn, required=False):
+        """Budget-gate + hard-cap one section. The hard cap is generous
+        (2x estimate, >= estimate+180s) — it exists to stop unbounded
+        overruns (the r02 rc=124 failure mode), not to police modest ones.
+        `required` sections are run even when the remaining budget looks
+        too small, capped at the remaining budget itself."""
+        est = estimate(label, static_est_s)
+        cap = max(est * 2.0, est + 180.0)
+        if remaining() < est:
+            if not required:
+                note(f"{label} SKIPPED: {remaining():.0f}s left <"
+                     f" {est:.0f}s estimate")
+                return
+            cap = max(remaining(), 60.0)
+            note(f"{label}: required, squeezing into {cap:.0f}s cap")
+        cap = min(cap, max(remaining(), 60.0))
+        t0 = time.perf_counter()
+        try:
+            out = _run_capped(fn, cap)
+            for r in (out if isinstance(out, list) else [out]):
+                emit(r)
+            _save_cost(label, time.perf_counter() - t0)
+        except SectionTimeout:
+            emit({"metric": label, "value": 0.0, "unit": "images/sec/chip",
+                  "vs_baseline": 0.0,
+                  "error": f"section hard cap {cap:.0f}s exceeded"})
+            # record the overrun so the next run's estimate gates it out
+            _save_cost(label, max(cap * 1.5, est * 2.0))
+        except Exception as e:
+            emit({"metric": label, "value": 0.0,
+                  "unit": "images/sec/chip", "vs_baseline": 0.0,
+                  "error": str(e)[:200]})
+            _save_cost(label, time.perf_counter() - t0)
+        note(f"{label}: {time.perf_counter() - t0:.0f}s")
 
     # ---- loader-fed (the second driver-required line), time-boxed ----
     if os.environ.get("BENCH_SKIP_LOADER_FED", "0") != "1" \
             and os.environ.get("BENCH_FLAGSHIP_ONLY", "0") != "1":
-        if remaining() > 240:
-            try:
-                for r in bench_loader_fed(resident_rate=flagship["value"]):
-                    emit(r)
-            except Exception as e:
-                emit({
-                    "metric":
-                        "loader_fed_mobilevit_v2_train_images_per_sec_per_chip",
-                    "value": 0.0, "unit": "images/sec/chip",
-                    "vs_baseline": 0.0, "error": str(e)[:200]})
-        else:
-            note(f"loader_fed SKIPPED: {remaining():.0f}s left < 240s estimate")
-        note(f"loader_fed: {time.perf_counter() - t_start:.0f}s elapsed")
+        gated(240, "loader_fed_mobilevit_v2_train_images_per_sec_per_chip",
+              lambda: bench_loader_fed(resident_rate=flagship["value"]),
+              required=True)
 
     # ---- budget-gated secondaries (perf tracking beyond the flagship) ----
+    # Priority order (VERDICT r3 #2): the three per-family train lines land
+    # BEFORE int8 serving — the regression net for vit/resnet/swin must fire
+    # every round; int8 is a tracking A/B and goes last.
     if os.environ.get("BENCH_FLAGSHIP_ONLY", "0") != "1":
-        def gated(est_s, label, fn):
-            if remaining() < est_s:
-                note(f"{label} SKIPPED: {remaining():.0f}s left <"
-                     f" {est_s:.0f}s estimate")
-                return
-            t0 = time.perf_counter()
-            try:
-                out = fn()
-                for r in (out if isinstance(out, list) else [out]):
-                    emit(r)
-            except Exception as e:
-                emit({"metric": label, "value": 0.0,
-                      "unit": "images/sec/chip", "vs_baseline": 0.0,
-                      "error": str(e)[:200]})
-            note(f"{label}: {time.perf_counter() - t0:.0f}s")
-
-        # priority order under the budget (measured r03 costs in parens):
-        # int8 serving first — it is the round-2 regression being disproven —
-        # then ViT-B (the falsifiable MFU line), then resnet, then swin.
-        # serving path: bf16 vs prequantized-int8 forward — ViT-B dynamic
-        # (tracks the s8-dot-vs-bf16 A/B across XLA versions) + the BW-bound
-        # flagship (weight-only, the default mode)
-        gated(210, "int8_serving",
-              lambda: bench_inference_int8("vit", batch=128, img=224)
-              + bench_inference_int8("mobilevit_v2", batch=256, img=256))
         gated(160, "vit_base_train_images_per_sec_per_chip",
               lambda: bench_model(
                   "vit", "vit_base_train_images_per_sec_per_chip", 128, 224))
@@ -525,12 +595,21 @@ def main() -> None:
               lambda: bench_model(
                   "resnet", "resnet_50_train_images_per_sec_per_chip",
                   128, 224))
-        # windowed attention via the XLA einsum path (the Pallas window
-        # kernel lost the v5e A/B and is disabled — docs/perf/PROFILE-swin.md)
+        # windowed attention: multi-window-packed Pallas kernel when enabled,
+        # else the XLA einsum path (docs/perf/PROFILE-swin.md)
         gated(260, "swin_tiny_train_images_per_sec_per_chip",
               lambda: bench_model(
                   "swin", "swin_tiny_train_images_per_sec_per_chip",
                   128, 224, iters=16))
+        # serving path: bf16 vs prequantized-int8 forward — ViT-B dynamic
+        # (tracks the s8-dot-vs-bf16 A/B across XLA versions) + the BW-bound
+        # flagship (weight-only, the default mode). iters=16: the A/B needs
+        # ~+-2% resolution, not 48 scan-steps (r03 measured cost 538s).
+        gated(400, "int8_serving",
+              lambda: bench_inference_int8("vit", batch=128, img=224,
+                                           iters=16)
+              + bench_inference_int8("mobilevit_v2", batch=256, img=256,
+                                     iters=16))
 
     # ---- re-emit flagship LAST so a final-line parse records the headline
     emit(flagship)
