@@ -69,7 +69,10 @@ def test_fsdp_step_matches_pure_dp():
     from cvnets_tpu.parallel import replicated_sharding, shard_batch
     from cvnets_tpu.parallel.sharding_rules import shard_train_state
 
-    opts, state, step_fn, rng = _setup()
+    # micro mode: the FSDP-vs-DP math identity doesn't need 12 blocks; the
+    # ffn kernels (16384 elems) still exceed _FSDP_MIN_SIZE so real sharding
+    # is exercised (fast-tier diet, VERDICT r3 #8)
+    opts, state, step_fn, rng = _setup(mode="micro")
     batch_np = {
         "samples": np.random.default_rng(0)
         .standard_normal((8, 64, 64, 3)).astype(np.float32),

@@ -99,10 +99,12 @@ def test_vit_moe_builds_and_aux_loss_trains():
     from cvnets_tpu.models import get_model
     from cvnets_tpu.optim import build_optimizer
 
+    # micro mode + period 1: both blocks are MoE; the wiring/aux-loss claim is
+    # depth-independent and tiny's 12-block compile dominated the fast tier
     args = [
-        "--model.classification.vit.mode", "tiny",
+        "--model.classification.vit.mode", "micro",
         "--model.classification.vit.moe-num-experts", "4",
-        "--model.classification.vit.moe-layer-period", "3",
+        "--model.classification.vit.moe-layer-period", "1",
         "--model.classification.n-classes", "8",
         "--loss.category", "classification",
         "--loss.classification.name", "cross_entropy",

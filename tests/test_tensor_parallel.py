@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 
-def _setup(opts_extra=None):
+def _setup(opts_extra=None, mode="tiny"):
     from cvnets_tpu.engine.train_state import create_train_state, make_train_step
     from cvnets_tpu.loss import build_loss_fn
     from cvnets_tpu.metrics.stats import Statistics
@@ -18,7 +18,7 @@ def _setup(opts_extra=None):
     opts = get_training_arguments(args=[
         "--model.classification.name", "vit",
         "--model.classification.n-classes", "16",
-        "--model.classification.vit.mode", "tiny",
+        "--model.classification.vit.mode", mode,
         "--dataset.category", "classification",
         "--loss.category", "classification",
         "--loss.classification.name", "cross_entropy",
@@ -72,7 +72,9 @@ def test_dp_tp_step_matches_pure_dp():
     from cvnets_tpu.parallel import replicated_sharding, shard_batch
     from cvnets_tpu.parallel.sharding_rules import shard_state_for_tp
 
-    opts, state, step_fn, rng = _setup()
+    # micro mode: the layout math-identity doesn't need 12 blocks; 2 blocks
+    # compile ~8x faster on the 1-core CI host (fast-tier diet, VERDICT r3 #8)
+    opts, state, step_fn, rng = _setup(mode="micro")
     batch_np = {
         "samples": np.random.default_rng(0)
         .standard_normal((8, 64, 64, 3)).astype(np.float32),
