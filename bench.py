@@ -405,19 +405,31 @@ def bench_loader_fed(resident_rate: float, batch: int = 128, img: int = 256,
         state, m = step_fn(state, sharded, 2e-3, rng)
     float(np.asarray(jax.device_get(m["loss"]["loss"])).ravel()[0])
 
+    # H2D context: on this box the axon tunnel (~35 MB/s) is the binding
+    # constraint, not host decode (docs/perf/PROFILE-loader.md) — report the
+    # measured copy bandwidth so the sustained rate is interpretable.
+    probe = np.random.randint(0, 255, (batch, img, img, 3), np.uint8)
+    t0 = time.perf_counter()
+    a = shard_batch(mesh, {"samples": probe})["samples"]
+    float(np.asarray(jax.device_get(a[0, 0, 0, 0].astype(np.float32))))
+    h2d_mb_s = probe.nbytes / 1e6 / (time.perf_counter() - t0)
+
     # time-boxed: run up to ``steps`` steps but stop at ``deadline_s`` of
     # measurement wall-clock (the sustained rate is valid at any step count
-    # past warmup; an unbounded loop is what timed out the round-2 driver)
+    # past warmup; an unbounded loop is what timed out the round-2 driver).
+    # device_prefetch issues the H2D copy up to 2 batches ahead so it
+    # overlaps the device step, as the Trainer's epoch loop does.
+    from cvnets_tpu.parallel import device_prefetch
+
     seen = 0
     n_run = 0
     t0 = time.perf_counter()
-    for _ in range(steps):
-        b = next(gen)
+    for b, sharded in device_prefetch(gen, mesh):
         seen += int(b["samples"].shape[0])
-        sharded = shard_batch(mesh, b)
         state, m = step_fn(state, sharded, 2e-3, rng)
         n_run += 1
-        if n_run >= 20 and time.perf_counter() - t0 > deadline_s:
+        if n_run >= steps or (n_run >= 20
+                              and time.perf_counter() - t0 > deadline_s):
             break
     float(np.asarray(jax.device_get(m["loss"]["loss"])).ravel()[0])
     dt = time.perf_counter() - t0
@@ -441,6 +453,9 @@ def bench_loader_fed(resident_rate: float, batch: int = 128, img: int = 256,
             "vs_baseline": round(sustained / max(resident_rate, 1e-9), 4),
             "n_host_cores": n_cores,
             "steps": steps,
+            "h2d_mb_per_s": round(h2d_mb_s, 1),
+            "h2d_ceiling_imgs_per_s": round(
+                h2d_mb_s * 1e6 / (img * img * 3), 1),
         },
     ]
 

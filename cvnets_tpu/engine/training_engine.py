@@ -28,7 +28,12 @@ from cvnets_tpu.misc.averaging_utils import ema_update
 from cvnets_tpu.ops.mixing import build_mixing_fn
 from cvnets_tpu.optim import build_optimizer
 from cvnets_tpu.optim.scheduler import build_scheduler
-from cvnets_tpu.parallel import create_mesh, replicated_sharding, shard_batch
+from cvnets_tpu.parallel import (
+    create_mesh,
+    device_prefetch,
+    replicated_sharding,
+    shard_batch,
+)
 from cvnets_tpu.parallel.mesh import set_active_mesh
 from cvnets_tpu.utils import logger
 from cvnets_tpu.utils.checkpoint_utils import CheckpointManager, load_checkpoint
@@ -294,12 +299,13 @@ class Trainer:
         metric_accum = None
         accum_load_t = 0.0
 
-        for batch in self.train_loader:
+        # H2D placement runs `depth` batches ahead in a background thread so
+        # the copy overlaps the device step (docs/perf/PROFILE-loader.md)
+        for batch, sharded in device_prefetch(self.train_loader, self.mesh):
             load_t = time.time() - batch_start
             if self.train_iterations >= self.max_iterations:
                 break
             lr = self.scheduler.retrieve_lr(epoch, self.train_iterations)
-            sharded = shard_batch(self.mesh, batch)
             bn_m = None
             if self.adjust_norm_mom is not None:
                 # flax convention (1 - torch momentum); traced scalar like lr
@@ -356,8 +362,7 @@ class Trainer:
         stats = Statistics(self.opts, self.val_metric_names, self.is_master_node,
                            is_evaluation=True)
         step = self._eval_step_ema if use_ema else self._eval_step
-        for batch in self.val_loader:
-            sharded = shard_batch(self.mesh, batch)
+        for batch, sharded in device_prefetch(self.val_loader, self.mesh):
             metrics = step(self.state, sharded)
             bsz = int(np.asarray(jax.tree_util.tree_leaves(batch["samples"])[0]).shape[0])
             stats.update(precomputed=jax.device_get(metrics), batch_size=bsz)

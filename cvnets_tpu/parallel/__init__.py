@@ -9,6 +9,7 @@ axis, params replicated. GSPMD inserts the psums that DDP's allreduce used to do
 from cvnets_tpu.parallel.mesh import (
     create_mesh,
     data_sharding,
+    device_prefetch,
     get_active_mesh,
     replicated_sharding,
     set_active_mesh,

@@ -60,6 +60,66 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def device_prefetch(iterable, mesh: Mesh, depth: int = 2):
+    """Yield ``(host_batch, sharded_batch)`` pairs, issuing H2D placement up
+    to ``depth`` batches ahead of consumption from a background thread.
+
+    ``jax.device_put`` is asynchronous, but issuing it from the consume loop
+    serializes the transfer behind the previous step's dispatch via queue
+    backpressure; issuing early lets the H2D copy overlap both host decode
+    and the device step (measured on the axon tunnel: the copy is the
+    loader-fed bottleneck, docs/perf/PROFILE-loader.md). The host batch is
+    yielded alongside for metadata (batch size, sample ids) — it is alive in
+    the queue anyway. Source-iterator exceptions surface in the consumer;
+    abandoning the generator (``break``) stops the worker thread.
+    """
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+    stop = _threading.Event()
+    sentinel = object()
+
+    def worker():
+        try:
+            for b in iterable:
+                item = (b, shard_batch(mesh, b))
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    return
+                except _queue.Full:
+                    continue
+        except BaseException as e:  # surfaced at the consumer's next get
+            q.put(e)
+
+    t = _threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except _queue.Empty:
+            pass
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
     """Place a host-local numpy batch onto the mesh, sharded along the batch axis.
 
