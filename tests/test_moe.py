@@ -90,9 +90,11 @@ def test_moe_aux_loss_sown():
     assert 0.5 < aux < 4.0, aux
 
 
+@pytest.mark.slow  # integration-weight: 67s under the fast tier's opt-0 XLA
 def test_vit_moe_builds_and_aux_loss_trains():
     """--model.classification.vit.moe-num-experts wires MoE blocks into ViT;
-    the train step adds the sown aux loss (weight on -> loss changes)."""
+    the train step adds the sown aux loss (weight on -> loss changes).
+    Fast-tier MoE coverage stays via the dense-oracle/capacity/aux tests."""
     from cvnets_tpu.engine.train_state import create_train_state, make_train_step
     from cvnets_tpu.loss import build_loss_fn
     from cvnets_tpu.metrics.stats import Statistics

@@ -324,14 +324,19 @@ def test_layer_wise_lr_decay_all_encoders():
 
         rng = jax.random.PRNGKey(0)
         x = np.zeros((1, 32, 32, 3), np.float32)
-        variables = model.init({"params": rng, "dropout": rng},
-                               jnp.asarray(x), training=False)
-        params = variables["params"]
+        # eval_shape: the update-scaling check needs only the param-tree
+        # structure — tracing without compiling keeps this off the fast
+        # tier's compile budget (58s -> seconds)
+        var_shapes = jax.eval_shape(
+            lambda: model.init({"params": rng, "dropout": rng},
+                               jnp.asarray(x), training=False))
+        params = jax.tree_util.tree_map(lambda s: jnp.ones(s.shape, s.dtype),
+                                        var_shapes["params"])
         tx = build_optimizer(opts, lr_multipliers=mults)
         state = tx.init(params)
         state.hyperparams["learning_rate"] = jnp.asarray(1.0)
         grads = jax.tree_util.tree_map(jnp.ones_like, params)
-        updates, _ = tx.update(grads, state, params)
+        updates, _ = jax.jit(tx.update)(grads, state, params)
 
         def first_leaf(tree, prefix):
             key = next(k for k in sorted(tree) if k.startswith(prefix))

@@ -41,6 +41,9 @@ def test_zero_shot_eval_pipeline():
     setattr(opts, "model.text.transformer.n_transformer_layers", 1)
     setattr(opts, "model.text.transformer.n_heads_per_layer", [4])
     setattr(opts, "model.multi_modal_image_text.clip.projection_dim", 16)
+    # pipeline logic is width-independent; width-1.0 compile dominated the
+    # fast tier
+    setattr(opts, "model.classification.mobilenetv2.width_multiplier", 0.25)
 
     model = get_model(opts)
     rng = np.random.default_rng(0)
