@@ -148,15 +148,19 @@ def bench_model(name: str, metric_name: str, batch: int, img: int,
     sharded = shard_batch(mesh, batch_np)
 
     # cost analysis for roofline. NOTE: XLA counts a while/scan BODY once, so the
-    # reported numbers already correspond to ONE train step.
+    # reported numbers already correspond to ONE train step. The compiled
+    # executable is REUSED for the measurement below — calling ``step(...)``
+    # after ``step.lower(...)`` would trace and compile the program a second
+    # time (tracing a scan-8 train step costs minutes on a 1-core host).
     flops_per_step = bytes_per_step = None
     try:
-        lowered = step.lower(state, sharded, 2e-3, rng)
-        cost = lowered.compile().cost_analysis()
+        compiled = step.lower(state, sharded, 2e-3, rng).compile()
+        cost = compiled.cost_analysis()
         if cost and "flops" in cost:
             flops_per_step = float(cost["flops"])
         if cost and "bytes accessed" in cost:
             bytes_per_step = float(cost["bytes accessed"])
+        step = compiled
     except Exception:
         pass
 

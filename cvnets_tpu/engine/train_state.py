@@ -40,20 +40,27 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(model, tx, rng, dummy_batch, ema_enabled: bool = False):
-    variables = model.init(
-        {"params": rng, "dropout": rng}, dummy_batch["samples"], training=False
-    )
+    # Each piece runs as ONE compiled program. Eager construction dispatches
+    # hundreds of tiny ops (per-layer inits, per-leaf zeros/copies); on a
+    # remote backend every eager op is a host<->device round-trip, which made
+    # state creation dominate bench/Trainer startup (measured: the flagship
+    # bench spent most of a 472s warm run here and in retracing).
+    variables = jax.jit(
+        lambda: model.init({"params": rng, "dropout": rng},
+                           dummy_batch["samples"], training=False))()
     params = variables.get("params", {})
     batch_stats = variables.get("batch_stats", {})
+    # separate jit per piece (not one fused program): XLA may deduplicate
+    # identical outputs of a single program, and ema_params must be a
+    # distinct buffer from params (donation forbids aliased inputs)
+    copy_tree = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
-        # must be a distinct buffer from params (donation forbids aliased inputs)
-        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema_enabled else None,
-        ema_batch_stats=(jax.tree_util.tree_map(jnp.copy, batch_stats)
-                         if ema_enabled else None),
+        opt_state=jax.jit(tx.init)(params),
+        ema_params=copy_tree(params) if ema_enabled else None,
+        ema_batch_stats=(copy_tree(batch_stats) if ema_enabled else None),
     )
 
 
