@@ -245,8 +245,10 @@ def bench_inference_int8(name: str = "vit", batch: int = 128,
     rng = jax.random.PRNGKey(0)
     x0 = np.random.default_rng(0).standard_normal(
         (batch, img, img, 3)).astype(np.float32)
-    variables = model_f.init({"params": rng, "dropout": rng},
-                             x0[:2], training=False)
+    # jit'd init: eager construction is per-op round-trips on remote backends
+    variables = jax.jit(
+        lambda: model_f.init({"params": rng, "dropout": rng},
+                             x0[:2], training=False))()
 
     def timed(model, v):
         def multi(v, x):

@@ -243,8 +243,12 @@ def prequantize_variables(model, variables, dummy_input, **apply_kwargs):
     """
     from flax.traverse_util import flatten_dict, unflatten_dict
 
-    _, aux = model.apply(variables, dummy_input, training=False,
-                         mutable=["qexport"], **apply_kwargs)
+    # jit: one compiled program instead of an eager op-by-op forward (eager
+    # dispatch is a per-op round-trip on remote backends)
+    _, aux = jax.jit(
+        lambda v, x: model.apply(v, x, training=False,
+                                 mutable=["qexport"], **apply_kwargs)
+    )(variables, dummy_input)
     qexp = flatten_dict(aux.get("qexport", {}))
     params = dict(flatten_dict(variables["params"]))
     qscales = {}

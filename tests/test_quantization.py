@@ -173,10 +173,14 @@ def test_prequantize_variables_serving_path():
                if v.dtype == jnp.int8]
     assert len(kernels) > 0, "no kernels were prequantized"
 
-    logits_dyn = model_q.apply(variables, x, training=False)
-    logits_pre = model_q.apply(qvars, x, training=False)
+    # compare COMPILED applies: serving always runs jitted, and the compiled
+    # programs match bit-for-bit (eager dispatch schedules the dequant chain
+    # differently and drifts ~1e-4 — measured, not a contract violation)
+    fwd = jax.jit(lambda v, xx: model_q.apply(v, xx, training=False))
+    logits_dyn = fwd(variables, x)
+    logits_pre = fwd(qvars, x)
     np.testing.assert_allclose(np.asarray(logits_pre),
-                               np.asarray(logits_dyn), rtol=0, atol=1e-5)
+                               np.asarray(logits_dyn), rtol=0, atol=0)
 
 
 def test_int8_weight_only_mode():
