@@ -109,9 +109,16 @@ class SwinTransformer(BaseImageEncoder):
         total = sum(cfg["depths"])
         bid = 0
         dim = cfg["embed_dim"]
+        # --model.classification.gradient-checkpointing: per-block remat
+        # (reference wraps stages in torch.utils.checkpoint; Swin's blocks
+        # don't route through BaseImageEncoder._run_stage, so lift here).
+        # ``training`` is passed positionally and marked static.
+        block_cls = (nn.remat(SwinTransformerBlock, static_argnums=(2,))
+                     if self.gradient_checkpointing and training
+                     else SwinTransformerBlock)
         for si, (depth, heads) in enumerate(zip(cfg["depths"], cfg["num_heads"])):
             for bi in range(depth):
-                x = SwinTransformerBlock(
+                x = block_cls(
                     opts=opts, dim=dim, num_heads=heads,
                     window_size=cfg["window_size"],
                     shift_size=0 if bi % 2 == 0 else cfg["window_size"] // 2,
@@ -120,7 +127,7 @@ class SwinTransformer(BaseImageEncoder):
                     stochastic_depth_prob=cfg["stochastic_depth_prob"] * bid
                     / max(total - 1, 1),
                     name=f"stage{si}_block{bi}",
-                )(x, training=training)
+                )(x, training)
                 bid += 1
             out[f"out_l{si + 2}"] = x
             if si < len(cfg["depths"]) - 1:

@@ -116,3 +116,44 @@ def test_conv_encoder_gradient_checkpointing_equivalence():
     np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5)
     np.testing.assert_allclose(outs[False][2], outs[True][2],
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow  # full Swin-T build x2; compile-heavy (full-suite tier)
+def test_swin_gradient_checkpointing_equivalence():
+    """Swin blocks don't route through BaseImageEncoder._run_stage, so the
+    per-block remat lift lives in SwinTransformer._forward_stages; pin that
+    --model.classification.gradient-checkpointing is honored and math-neutral
+    (round-4 feature; reference wraps stages in torch.utils.checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.options.opts import get_training_arguments
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 224, 224, 3)) * 0.3
+    outs = {}
+    for gc in (False, True):
+        args = ["--model.classification.name", "swin",
+                "--model.classification.n-classes", "10"]
+        if gc:
+            args.append("--model.classification.gradient-checkpointing")
+        opts = get_training_arguments(args=args)
+        setattr(opts, "model.classification.swin.mode", "tiny")
+        setattr(opts, "model.classification.swin.stochastic_depth_prob", 0.0)
+        m = get_model(opts)
+        v = jax.jit(lambda m=m: m.init({"params": rng, "dropout": rng}, x,
+                                       training=False))()
+
+        def loss_fn(p, m=m, v=v):
+            out = m.apply({"params": p}, x, training=True,
+                          rngs={"dropout": rng})
+            return jnp.sum(out ** 2)
+
+        l, g = jax.jit(jax.value_and_grad(loss_fn))(v["params"])
+        gnorm = jnp.sqrt(sum(jnp.sum(t ** 2)
+                             for t in jax.tree_util.tree_leaves(g)))
+        outs[gc] = (float(l), float(gnorm))
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5)
