@@ -39,15 +39,55 @@ class TrainState(flax.struct.PyTreeNode):
         return self.ema_params if self.ema_params is not None else self.params
 
 
+def _ordered_flatten(tree, prefix=()):
+    from collections.abc import Mapping
+
+    out = []
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            out += _ordered_flatten(v, prefix + (k,))
+    else:
+        out.append((prefix, tree))
+    return out
+
+
+def jit_init_ordered(init_fn):
+    """Run a flax ``init`` as ONE compiled program while preserving the
+    module-definition dict ordering that eager init produces.
+
+    ``jax.jit`` sorts dict keys at every pytree level, but the
+    torch-checkpoint converter's structural matcher
+    (utils/torch_checkpoint_converter.py) walks flax leaves in
+    module-definition order against the torch ``state_dict``. Leaves are
+    therefore returned through the jit boundary as a TUPLE (order-stable);
+    the paths are captured python-side at trace time and the nested dict is
+    rebuilt with definition-order insertion."""
+    paths = []
+
+    def traced():
+        flat = _ordered_flatten(init_fn())
+        paths.extend(p for p, _ in flat)
+        return tuple(leaf for _, leaf in flat)
+
+    leaves = jax.jit(traced)()
+    out: dict = {}
+    for path, leaf in zip(paths, leaves):
+        d = out
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = leaf
+    return out
+
+
 def create_train_state(model, tx, rng, dummy_batch, ema_enabled: bool = False):
     # Each piece runs as ONE compiled program. Eager construction dispatches
     # hundreds of tiny ops (per-layer inits, per-leaf zeros/copies); on a
     # remote backend every eager op is a host<->device round-trip, which made
     # state creation dominate bench/Trainer startup (measured: the flagship
     # bench spent most of a 472s warm run here and in retracing).
-    variables = jax.jit(
+    variables = jit_init_ordered(
         lambda: model.init({"params": rng, "dropout": rng},
-                           dummy_batch["samples"], training=False))()
+                           dummy_batch["samples"], training=False))
     params = variables.get("params", {})
     batch_stats = variables.get("batch_stats", {})
     # separate jit per piece (not one fused program): XLA may deduplicate

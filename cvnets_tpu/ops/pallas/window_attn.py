@@ -82,10 +82,12 @@ def _pack_vmem_bytes(p: int, s: int, e: int, heads: int, elt: int = 2) -> int:
     return io + bias + scratch
 
 
-def _pick_pack(bnw: int, nw: int, s: int, e: int, heads: int) -> int:
+def _pick_pack(bnw: int, nw: int, s: int, e: int, heads: int,
+               elt: int = 2) -> int:
     """Largest P in {8,4,2} that divides the packing axis (the per-image
     window axis when a shift mask makes windows distinct, else the flat
-    batch*window axis), keeps P*S <= _PACK_TARGET, and fits the VMEM model.
+    batch*window axis), keeps P*S <= _PACK_TARGET, and fits the VMEM model
+    at the ACTUAL q/k/v element size (f32 doubles the I/O tile term).
     1 = no packing."""
     limit = nw if nw > 1 else bnw
     for cand in (8, 4, 2):
@@ -93,7 +95,7 @@ def _pick_pack(bnw: int, nw: int, s: int, e: int, heads: int) -> int:
             continue
         if cand * s > _PACK_TARGET:
             continue
-        if _pack_vmem_bytes(cand, s, e, heads) > _VMEM_BUDGET:
+        if _pack_vmem_bytes(cand, s, e, heads, elt=elt) > _VMEM_BUDGET:
             continue
         return cand
     return 1
@@ -424,7 +426,7 @@ def fused_window_attention(
     # reshape — consecutive windows are contiguous) with a compact grouped
     # bias; the kernels compute softmax on the diagonal band only. See the
     # packing block comment above _pick_pack.
-    p = _pick_pack(bnw, nw, s, e, heads)
+    p = _pick_pack(bnw, nw, s, e, heads, elt=jnp.dtype(q.dtype).itemsize)
     bias = _group_bias(bias, p)                  # (nWp, P, H, S, S)
     sp = p * s
     if nw > 1:

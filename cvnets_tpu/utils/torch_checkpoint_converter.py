@@ -13,6 +13,12 @@ Parity target: reference load_pretrained_model + rename/exclude scope machinery
 Name mapping is structural: both trees are flattened in module order and matched by
 shape signature with a rename-regex escape hatch (``--model.rename-scopes-map``).
 torch is CPU-only in this image — used purely as a .pt reader.
+
+ORDER INVARIANT: the structural walk requires the flax dicts in module-DEFINITION
+order, which eager ``model.init`` produces but any jit boundary destroys (jax
+sorts dict keys at every pytree level). Params that crossed a jit boundary must
+be re-created via ``engine.train_state.jit_init_ordered`` (what
+``create_train_state`` uses) before feeding them here.
 """
 
 from __future__ import annotations

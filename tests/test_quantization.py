@@ -173,14 +173,17 @@ def test_prequantize_variables_serving_path():
                if v.dtype == jnp.int8]
     assert len(kernels) > 0, "no kernels were prequantized"
 
-    # compare COMPILED applies: serving always runs jitted, and the compiled
-    # programs match bit-for-bit (eager dispatch schedules the dequant chain
-    # differently and drifts ~1e-4 — measured, not a contract violation)
+    # compare COMPILED applies: serving always runs jitted. The two traces
+    # are distinct programs (f32 kernels vs int8 kernels + qscales), so XLA
+    # does not guarantee bit-equality across them (measured 0.0 today, but
+    # fusion/scheduling may differ across versions); 2e-5 expresses the real
+    # contract — same quantization math, float-roundoff apart. (Eager
+    # dispatch drifts ~1e-4 and is not the serving path.)
     fwd = jax.jit(lambda v, xx: model_q.apply(v, xx, training=False))
     logits_dyn = fwd(variables, x)
     logits_pre = fwd(qvars, x)
     np.testing.assert_allclose(np.asarray(logits_pre),
-                               np.asarray(logits_dyn), rtol=0, atol=0)
+                               np.asarray(logits_dyn), rtol=0, atol=2e-5)
 
 
 def test_int8_weight_only_mode():
