@@ -211,7 +211,15 @@ def test_moe_vit_learns_synthetic_task(tmp_path):
     """The MoE ViT must LEARN (router + experts + aux loss end-to-end through
     the real Trainer), not just run: same separable color task as
     test_learnability.py."""
-    import tests.test_learnability  # noqa: F401 — registers synthetic_colors
+    # Import under the SAME top-level name pytest collects the file as
+    # (tests/ has no __init__.py, so `tests.test_learnability` would be a
+    # second namespace-package module object and its register decorator would
+    # run twice -> duplicate-registration ValueError in full-suite runs).
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).parent))
+    import test_learnability  # noqa: F401 — registers synthetic_colors
 
     from cvnets_tpu.data.data_loaders import create_train_val_loader
     from cvnets_tpu.engine import Trainer

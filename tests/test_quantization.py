@@ -154,7 +154,7 @@ def _count_int8_contractions(jaxpr) -> int:
 def test_prequantize_variables_serving_path():
     """prequantize_variables rewrites eligible kernels to int8 + a qscales
     collection; the prequantized apply must (a) carry int8 kernel leaves,
-    (b) produce logits matching the in-graph dynamic path bit-for-bit
+    (b) produce logits matching the in-graph dynamic path to float-roundoff
     (same quantization math, just precomputed), (c) contain NO in-graph
     weight quantization (no round ops on the weight path)."""
     from cvnets_tpu.models import get_model
