@@ -31,6 +31,20 @@ def test_getattr_keys_use_underscores():
     assert not bad, "\n".join(bad)
 
 
+def test_perf_tables_match_bench_artifacts():
+    """README.md and docs/perf/PROFILE.md perf tables are GENERATED from
+    BENCH_r*.json (tools/gen_perf_tables.py); hand-edited drift fails here
+    (VERDICT r4 #6 — the flagship number drifted two rounds in a row)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_perf_tables.py"),
+         "--check"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+
 def test_argparse_flags_use_dashes():
     bad = []
     for path in _py_files():
