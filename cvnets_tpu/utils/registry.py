@@ -31,6 +31,50 @@ _KEY_WITH_ARGS = re.compile(r"^(?P<name>[^()]+)(\((?P<args>.*)\))?$")
 # `type` is shadowed by the register() kwarg name (kept for reference-contract parity)
 builtins_type = type
 
+# every Registry instance, for test isolation (snapshot/restore of the
+# process-global registries between test modules — VERDICT r4 #5: global
+# registry state coupled tests; 7887cc4 fixed one symptom, this is the
+# mechanism). WeakSet: throwaway registries created inside tests get GC'd.
+import weakref
+
+_ALL_REGISTRIES: "weakref.WeakSet[Registry]" = weakref.WeakSet()
+
+
+def all_registries() -> List["Registry"]:
+    return list(_ALL_REGISTRIES)
+
+
+def load_all_registries() -> List["Registry"]:
+    """Force every registry's lazy directory load, to a fixpoint (loading one
+    registry's dirs can import modules that register into — or create — other
+    registries). Snapshots must be taken over FULLY loaded registries; see
+    :meth:`Registry.snapshot`."""
+    seen: set = set()
+    while True:
+        pending = [r for r in all_registries() if id(r) not in seen]
+        if not pending:
+            return all_registries()
+        for r in pending:
+            seen.add(id(r))
+            r._ensure_loaded()
+
+
+def _same_source(a: Callable, b: Callable) -> bool:
+    """True when two registered items are the same source object executed
+    twice (same qualname + defining file). Happens under pytest when one file
+    is imported under two module names (e.g. ``tests.test_x`` via the
+    namespace package and ``test_x`` via pytest's rootdir collection)."""
+    try:
+        import inspect
+
+        return (
+            getattr(a, "__qualname__", None) is not None
+            and getattr(a, "__qualname__", None) == getattr(b, "__qualname__", None)
+            and inspect.getfile(a) == inspect.getfile(b)
+        )
+    except (TypeError, OSError):
+        return False
+
 
 class Registry:
     def __init__(
@@ -49,6 +93,22 @@ class Registry:
         self._internal_dirs = tuple(internal_dirs)
         self._loaded = False
         self._arguments_accessed = False
+        _ALL_REGISTRIES.add(self)
+
+    # -- test isolation ---------------------------------------------------------
+    def snapshot(self) -> Tuple[Dict[str, Callable], bool, bool]:
+        """Capture registry contents for later :meth:`restore` (test isolation).
+
+        Forces the lazy directory load first: restoring an *unloaded* snapshot
+        would reset ``_loaded=False`` after a load happened, and the re-load
+        hits Python's import cache — the register decorators never re-run and
+        the registry stays empty for every later consumer."""
+        self._ensure_loaded()
+        return dict(self._items), self._loaded, self._arguments_accessed
+
+    def restore(self, snap: Tuple[Dict[str, Callable], bool, bool]) -> None:
+        self._items, self._loaded, self._arguments_accessed = (
+            dict(snap[0]), snap[1], snap[2])
 
     # -- lazy loading ---------------------------------------------------------
     def _ensure_loaded(self) -> None:
@@ -83,6 +143,13 @@ class Registry:
 
         def _decorator(item: Callable) -> Callable:
             if full_name in self._items:
+                # Re-executing the SAME source (one test file imported under
+                # two module names) is idempotent under pytest; a genuinely
+                # different item under an existing name stays a hard error.
+                from cvnets_tpu.constants import is_test_env
+
+                if is_test_env() and _same_source(self._items[full_name], item):
+                    return item
                 raise ValueError(
                     f"Cannot register duplicate {self.registry_name} ({full_name})"
                 )

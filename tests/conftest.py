@@ -33,3 +33,37 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:
     pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _registry_isolation():
+    """Snapshot/restore every process-global Registry per test module
+    (VERDICT r4 #5: registry state mutated by one test module leaked into
+    later ones). pytest imports ALL collected test modules before running any
+    test, so module-level register decorators are already in the baseline
+    snapshot; only registrations made while a module's tests RUN are rolled
+    back here."""
+    from cvnets_tpu.utils.registry import load_all_registries
+
+    snaps = [(r, r.snapshot()) for r in load_all_registries()]
+    yield
+    for r, s in snaps:
+        r.restore(s)
+
+
+def pytest_collection_modifyitems(config, items):
+    """TEST_ORDER=reverse reverses the FILE order (intra-module order kept —
+    module fixtures still enter/exit once per module). Used to prove the
+    suite has no test-module order coupling."""
+    if os.environ.get("TEST_ORDER") != "reverse":
+        return
+    groups, order = {}, []
+    for item in items:
+        key = item.fspath
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(item)
+    items[:] = [it for key in reversed(order) for it in groups[key]]

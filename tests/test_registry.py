@@ -84,3 +84,41 @@ def test_all_arguments():
     reg.all_arguments(parser)
     opts = parser.parse_args([])
     assert getattr(opts, "test.flag") == 3
+
+
+def test_snapshot_restore_roundtrip():
+    reg = Registry("snap_test")
+    reg.register("keep")(dict)
+    snap = reg.snapshot()
+    reg.register("transient")(list)
+    assert "transient" in reg
+    reg.restore(snap)
+    assert "keep" in reg
+    assert "transient" not in reg
+
+
+def test_all_registries_tracks_instances():
+    from cvnets_tpu.utils.registry import all_registries
+
+    reg = Registry("tracked_test")
+    assert any(r is reg for r in all_registries())
+
+
+def test_same_source_reregistration_is_idempotent_under_pytest():
+    """One test file imported under two module names re-executes its register
+    decorators (the 7887cc4 failure); under pytest the second execution of the
+    SAME source is a no-op, while a different item stays a hard error."""
+    reg = Registry("dup_test")
+
+    class Thing:
+        pass
+
+    reg.register("thing")(Thing)
+    # same qualname + same file: allowed (returns the item unchanged)
+    assert reg.register("thing")(Thing) is Thing
+
+    class Other:
+        pass
+
+    with pytest.raises(ValueError, match="duplicate"):
+        reg.register("thing")(Other)
