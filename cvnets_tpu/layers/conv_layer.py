@@ -44,11 +44,26 @@ class ConvLayer2d(nn.Module):
     act_name: Optional[str] = None
     norm_name: Optional[str] = None
 
+    def _effective_bias(self) -> bool:
+        """Reference quirk (conv_layer.py:166-167): when the norm layer is a
+        LayerNorm family member, the conv keeps its bias even if ``bias=False``
+        (unlike BN, LN statistics don't absorb a per-channel shift the same
+        way). Without this, checkpoints from LN-normalized recipes (CLIP,
+        ByteFormer, ViT with model.normalization=layer_norm) have conv biases
+        with no flax leaf to land on."""
+        if not self.use_norm or self.bias:
+            return self.bias
+        nt = (self.norm_name
+              or getattr(self.opts, "model.normalization.name", "batch_norm")
+              or "batch_norm").lower()
+        return nt in ("layer_norm", "layer_norm_2d", "layer_norm_fp32")
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         k = _pair(self.kernel_size)
         d = _pair(self.dilation)
         pad = tuple(((kk - 1) // 2 * dd, (kk - 1) // 2 * dd) for kk, dd in zip(k, d))
+        use_bias = self._effective_bias()
         from cvnets_tpu.quantization import (
             Int8Conv,
             int8_inference_enabled,
@@ -69,7 +84,7 @@ class ConvLayer2d(nn.Module):
                 padding=pad,
                 kernel_dilation=d,
                 feature_group_count=self.groups,
-                use_bias=self.bias,
+                use_bias=use_bias,
                 kernel_init=conv_init(self.opts),
                 dtype=compute_dtype(self.opts),
                 name="conv",
@@ -82,7 +97,7 @@ class ConvLayer2d(nn.Module):
                 padding=pad,
                 kernel_dilation=d,
                 feature_group_count=self.groups,
-                use_bias=self.bias,
+                use_bias=use_bias,
                 kernel_init=conv_init(self.opts),
                 dtype=compute_dtype(self.opts),
                 name="conv",
