@@ -102,30 +102,41 @@ def _model_opts(name: str):
     return opts
 
 
-def bench_model(name: str, metric_name: str, batch: int, img: int,
-                iters: int = 24) -> dict:
+def _device_peaks():
+    import jax as _jax
+
+    dev_kind = _jax.devices()[0].device_kind
+    for key in PEAK_FLOPS:
+        if key.lower() in dev_kind.lower() or dev_kind.lower() in key.lower():
+            return PEAK_FLOPS[key], PEAK_BW[key]
+    on_tpu = _jax.default_backend() == "tpu"
+    return (197e12, 819e9) if on_tpu else (1e11, 5e10)
+
+
+def measure_train_step(opts, model, criteria, tx, batch_np, metric_name,
+                       iters: int = 24, ema: bool = True) -> dict:
+    """The shared measurement protocol: build TrainState, jit a
+    lax.scan(SCAN_STEPS) of the full train step, reuse the lowered executable
+    (lower().compile() does NOT populate the jit cache), value-readback
+    barriers, roofline vs XLA cost analysis, MFU.
+
+    ``batch_np`` is the full host batch dict (samples may be an array or a
+    dict of arrays, e.g. CLIP's {image, text}); throughput counts the leading
+    dim of the first samples leaf, divided across chips."""
     import jax
 
     from cvnets_tpu.engine.train_state import create_train_state, make_train_step
-    from cvnets_tpu.loss import build_loss_fn
     from cvnets_tpu.metrics.stats import Statistics
-    from cvnets_tpu.models import get_model
-    from cvnets_tpu.optim import build_optimizer
     from cvnets_tpu.parallel import create_mesh, replicated_sharding, shard_batch
 
-    opts = _model_opts(name)
-    model = get_model(opts)
-    criteria = build_loss_fn(opts)
-    tx = build_optimizer(opts)
     rng = jax.random.PRNGKey(0)
-    dummy = {
-        "samples": np.zeros((2, img, img, 3), np.float32),
-        "targets": np.zeros((2,), np.int32),
-    }
-    state = create_train_state(model, tx, rng, dummy, ema_enabled=True)
+    dummy = jax.tree_util.tree_map(lambda x: x[:2], batch_np)
+    state = create_train_state(model, tx, rng, dummy, ema_enabled=ema)
     mesh = create_mesh(opts)
     state = jax.device_put(state, replicated_sharding(mesh))
     n_chips = len(mesh.devices.flatten())
+    samples_leaf = jax.tree_util.tree_leaves(batch_np["samples"])[0]
+    batch_per_chip = samples_leaf.shape[0] // n_chips
 
     metrics = Statistics(opts, ["loss"]).metrics
     step_fn = make_train_step(model, criteria, tx, opts, metrics)
@@ -135,16 +146,11 @@ def bench_model(name: str, metric_name: str, batch: int, img: int,
     def multi_step(state, batch, lr, rng):
         def body(s, _):
             s, m = step_fn(s, batch, lr, rng)
-            return s, m["loss"]["loss"][0]
+            loss = m["loss"]["loss"]
+            return s, jax.tree_util.tree_leaves(loss)[0]
         return jax.lax.scan(body, state, None, length=SCAN_STEPS)
 
     step = jax.jit(multi_step, donate_argnums=(0,))
-
-    batch_np = {
-        "samples": np.random.default_rng(0)
-        .standard_normal((batch * n_chips, img, img, 3)).astype(np.float32),
-        "targets": (np.arange(batch * n_chips) % 1000).astype(np.int32),
-    }
     sharded = shard_batch(mesh, batch_np)
 
     # cost analysis for roofline. NOTE: XLA counts a while/scan BODY once, so the
@@ -176,21 +182,8 @@ def bench_model(name: str, metric_name: str, batch: int, img: int,
     float(np.asarray(jax.device_get(m)).ravel()[-1])
     dt = time.perf_counter() - t0
 
-    imgs_per_sec_chip = batch * SCAN_STEPS * n_calls / dt
-
-    import jax as _jax
-
-    dev_kind = _jax.devices()[0].device_kind
-    peak = peak_bw = None
-    for key in PEAK_FLOPS:
-        if key.lower() in dev_kind.lower() or dev_kind.lower() in key.lower():
-            peak = PEAK_FLOPS[key]
-            peak_bw = PEAK_BW[key]
-            break
-    if peak is None:
-        on_tpu = _jax.default_backend() == "tpu"
-        peak = 197e12 if on_tpu else 1e11
-        peak_bw = 819e9 if on_tpu else 5e10
+    imgs_per_sec_chip = batch_per_chip * SCAN_STEPS * n_calls / dt
+    peak, peak_bw = _device_peaks()
 
     # roofline LOWER-BOUND ratio: a step can go no faster than
     # max(compute, memory); see module docstring for the >1.0 caveat
@@ -213,6 +206,28 @@ def bench_model(name: str, metric_name: str, batch: int, img: int,
         "vs_baseline": round(vs_baseline, 4),
         "mfu": round(mfu, 4),
     }
+
+
+def bench_model(name: str, metric_name: str, batch: int, img: int,
+                iters: int = 24) -> dict:
+    import jax
+
+    from cvnets_tpu.loss import build_loss_fn
+    from cvnets_tpu.models import get_model
+    from cvnets_tpu.optim import build_optimizer
+
+    opts = _model_opts(name)
+    model = get_model(opts)
+    criteria = build_loss_fn(opts)
+    tx = build_optimizer(opts)
+    n_chips = jax.device_count()
+    batch_np = {
+        "samples": np.random.default_rng(0)
+        .standard_normal((batch * n_chips, img, img, 3)).astype(np.float32),
+        "targets": (np.arange(batch * n_chips) % 1000).astype(np.int32),
+    }
+    return measure_train_step(opts, model, criteria, tx, batch_np,
+                              metric_name, iters=iters)
 
 
 def bench_inference_int8(name: str = "vit", batch: int = 128,
@@ -644,6 +659,29 @@ def main() -> None:
               lambda: bench_model(
                   "swin", "swin_tiny_train_images_per_sec_per_chip",
                   128, 224, iters=16))
+        # rotating "task family of the round" (VERDICT r4 #1): one of the
+        # non-classification north-star tasks — ssd/deeplab/clip/byteformer —
+        # re-measured each round so a regression in RoIAlign/NMS/matcher-fed
+        # loss/windowed-attention machinery fires within 4 rounds. Family
+        # picked from the round number (max BENCH_r*.json + 1), so it
+        # advances exactly once per driver round. Full sweep + analysis:
+        # bench_tasks.py / docs/perf/PROFILE-tasks.md.
+        import glob
+        import re as _re
+
+        rounds = [int(m.group(1)) for p in glob.glob("BENCH_r*.json")
+                  if (m := _re.search(r"BENCH_r(\d+)\.json$", p))]
+        this_round = (max(rounds) + 1) if rounds else 1
+        families = ["ssd", "deeplab", "clip", "byteformer"]
+        family = families[this_round % len(families)]
+
+        def _task_line():
+            from bench_tasks import TASKS
+
+            return TASKS[family]()
+
+        gated(420, f"task_of_round_{family}", _task_line)
+
         # serving path: bf16 vs prequantized-int8 forward — ViT-B dynamic
         # (tracks the s8-dot-vs-bf16 A/B across XLA versions) + the BW-bound
         # flagship (weight-only, the default mode). iters=16: the A/B needs
