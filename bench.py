@@ -545,6 +545,29 @@ def _run_capped(fn, cap_s: float):
         signal.signal(signal.SIGALRM, old)
 
 
+def _device_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe device discovery in a SUBPROCESS with a hard timeout.
+
+    A wedged axon tunnel hangs ``jax.devices()`` inside a C call, where the
+    in-process SIGALRM section caps cannot fire (the Python handler only runs
+    when the interpreter regains control) — the whole bench then produces
+    ZERO lines and dies by external kill. A subprocess timeout is immune to
+    that; on failure the caller emits an explicit error line and exits 0."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert len(jax.devices()) >= 1"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:
+        return False
+
+
 def main() -> None:
     import os
     import sys
@@ -553,6 +576,15 @@ def main() -> None:
 
     tune_host_allocator()
     _enable_persistent_compile_cache()
+    if os.environ.get("BENCH_SKIP_DEVICE_PROBE", "0") != "1" \
+            and not _device_reachable():
+        print(json.dumps({
+            "metric": "mobilevit_v2_1.0_train_images_per_sec_per_chip",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": "device unreachable: jax.devices() hung/failed in a "
+                     "240s subprocess probe (axon tunnel down?)"}),
+            flush=True)
+        return
     t_start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
     costs = _load_costs()
