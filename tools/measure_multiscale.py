@@ -153,9 +153,11 @@ def main() -> None:
         batch = resident[(h, w, b)]
         st, mm = scan_jit(state, batch, 2e-3, rng)  # compile out of timing
         float(np.asarray(jax.device_get(mm)).ravel()[-1])
+        # chain the state through each timed call: the axon relay serves
+        # identical repeated executions from cache, which would fake the rate
         t0 = time.perf_counter()
         for _ in range(2):
-            st, mm = scan_jit(state, batch, 2e-3, rng)
+            st, mm = scan_jit(st, batch, 2e-3, rng)
         float(np.asarray(jax.device_get(mm)).ravel()[-1])
         dt = time.perf_counter() - t0
         rate = b * SCAN_STEPS * 2 / dt
@@ -174,11 +176,11 @@ def main() -> None:
         fixed = shard_batch(mesh, {
             "samples": dr.standard_normal((128, 256, 256, 3)).astype(np.float32),
             "targets": (np.arange(128) % 1000).astype(np.int32)})
-        st, mm = scan_jit(state, fixed, 2e-3, rng)
-        float(np.asarray(jax.device_get(mm)).ravel()[-1])
+    st, mm = scan_jit(state, fixed, 2e-3, rng)  # warm + de-dup vs relay cache
+    float(np.asarray(jax.device_get(mm)).ravel()[-1])
     t0 = time.perf_counter()
     for _ in range(2):
-        st, mm = scan_jit(state, fixed, 2e-3, rng)
+        st, mm = scan_jit(st, fixed, 2e-3, rng)
     float(np.asarray(jax.device_get(mm)).ravel()[-1])
     fixed_rate = 128 * SCAN_STEPS * 2 / (time.perf_counter() - t0)
     print(json.dumps({
