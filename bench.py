@@ -199,13 +199,20 @@ def measure_train_step(opts, model, criteria, tx, batch_np, metric_name,
         # bytes-accessed roofline: fraction of peak FLOPs actually sustained
         mfu = flops_per_step / peak / step_time
 
-    return {
+    out = {
         "metric": metric_name,
         "value": round(imgs_per_sec_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
         "mfu": round(mfu, 4),
     }
+    # roofline inputs, for the PROFILE writeups (which side of the roofline a
+    # task sits on, and how far from it)
+    if flops_per_step:
+        out["gflops_per_step"] = round(flops_per_step / 1e9, 1)
+    if bytes_per_step:
+        out["gb_per_step"] = round(bytes_per_step / 1e9, 2)
+    return out
 
 
 def bench_model(name: str, metric_name: str, batch: int, img: int,
