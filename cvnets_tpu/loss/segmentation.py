@@ -56,6 +56,23 @@ class SegCrossEntropy(BaseSegmentationCriteria):
 
     def _ce(self, logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         n_classes = logits.shape[-1]
+        if logits.ndim == 4 and target.ndim == 3 \
+                and tuple(logits.shape[1:3]) != tuple(target.shape[1:3]):
+            # Head-resolution logits (the model skipped its train-time
+            # upsample): fuse bilinear-resize + CE so the full-resolution
+            # logits tensor never materializes. Semantically identical to
+            # upsampling first (tests/test_losses.py fused-parity tests);
+            # on a v5e chip this is the difference between 81.7 and 196.8
+            # img/s for DeepLabv3@512 (docs/perf/PROFILE-tasks.md).
+            from cvnets_tpu.ops.seg_ce import fused_resize_ce
+
+            wts = None
+            if self.use_class_wts:
+                safe_full = jnp.where(target == self.ignore_idx, 0, target)
+                wts = self._class_weights(safe_full, n_classes)
+            return fused_resize_ce(
+                logits, target, ignore_idx=self.ignore_idx,
+                label_smoothing=float(self.label_smoothing), class_wts=wts)
         valid = target != self.ignore_idx
         safe_target = jnp.where(valid, target, 0)
         losses = optax.softmax_cross_entropy_with_integer_labels(

@@ -48,6 +48,14 @@ class BaseSegmentation(BaseAnyNNModel):
                            action="store_true")
         group.add_argument("--model.segmentation.use-level5-exp",
                            action="store_true")
+        group.add_argument("--model.segmentation.upsample-train-logits",
+                           action="store_true",
+                           help="Upsample logits to input resolution during "
+                                "TRAINING forward too (the reference's "
+                                "base_seg_head.py behavior). Default off: the "
+                                "loss fuses resize+CE (ops/seg_ce.py) so the "
+                                "full-res logits never materialize; eval is "
+                                "always full-res either way.")
         return parser
 
     @property

@@ -41,6 +41,8 @@ class SegEncoderDecoder(BaseSegmentation):
         self.seg_head = MODEL_REGISTRY[head_name,
                                        "segmentation_head"].build_model(head_opts)
         self.use_l5_exp = getattr(opts, "model.segmentation.use_level5_exp", False)
+        self.upsample_train_logits = getattr(
+            opts, "model.segmentation.upsample_train_logits", False)
 
     def __call__(self, x: jnp.ndarray, training: bool = False
                  ) -> Union[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -49,6 +51,12 @@ class SegEncoderDecoder(BaseSegmentation):
             x, use_l5=True, use_l5_exp=self.use_l5_exp, training=training
         )
         out = self.seg_head(end_points, training=training)
+        if training and not self.upsample_train_logits:
+            # Train-time: return head-resolution logits; the seg CE loss
+            # fuses the bilinear resize into a tiled resize+CE (ops/seg_ce.py)
+            # so the (B, H, W, C) full-res tensor never exists. Eval below
+            # keeps the reference's full-res output (base_seg_head upsampling).
+            return out
         # upsample logits to input resolution (reference base_seg_head upsampling)
         def up(y):
             return jax.image.resize(

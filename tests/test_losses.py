@@ -126,6 +126,64 @@ def test_seg_cross_entropy_ignore_index_and_aux():
                - (float(out["seg_loss"]) + 0.4 * float(out["aux_loss"]))) < 1e-6
 
 
+@pytest.mark.parametrize("smoothing,class_wts", [(0.0, False), (0.1, False),
+                                                 (0.0, True), (0.1, True)])
+def test_seg_ce_fused_matches_upsampled(smoothing, class_wts):
+    """The fused tiled resize+CE (ops/seg_ce.py) must equal
+    CE(bilinear_resize(logits)) in value AND gradient — it is the train-time
+    replacement for the reference's upsample-then-CE
+    (loss_fn/segmentation/cross_entropy.py:19 after base_seg_head upsampling)."""
+    from cvnets_tpu.loss.segmentation import SegCrossEntropy
+
+    rng = np.random.default_rng(7)
+    # deliberately non-square, non-divisible head/label resolutions
+    logits = rng.normal(size=(2, 9, 13, 7)).astype(np.float32)
+    target = rng.integers(0, 7, size=(2, 48, 52)).astype(np.int32)
+    target[0, :5, :] = 255
+    target[1, :, -3:] = 255
+
+    opts = _opts(**{
+        "loss.segmentation.cross_entropy.label_smoothing": smoothing,
+        "loss.segmentation.cross_entropy.class_weights": class_wts,
+    })
+    loss = SegCrossEntropy(opts)
+    tgt = jnp.asarray(target)
+
+    def naive(lo):
+        up = jax.image.resize(lo, (2, 48, 52, 7), method="bilinear")
+        return loss(None, up, tgt)
+
+    def fused(lo):
+        return loss(None, lo, tgt)  # shape mismatch -> fused branch
+
+    lo = jnp.asarray(logits)
+    v_naive, g_naive = jax.value_and_grad(naive)(lo)
+    v_fused, g_fused = jax.value_and_grad(fused)(lo)
+    assert abs(float(v_naive) - float(v_fused)) < 2e-5
+    np.testing.assert_allclose(np.asarray(g_naive), np.asarray(g_fused),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_seg_ce_fused_aux_dict_and_enc_dec_train_forward():
+    """End-to-end: enc_dec returns head-res logits in training (the fused
+    path), full-res in eval; the aux-head dict goes through the fused CE."""
+    from cvnets_tpu.loss.segmentation import SegCrossEntropy
+
+    rng = np.random.default_rng(8)
+    main = jnp.asarray(rng.normal(size=(2, 8, 8, 5)).astype(np.float32))
+    aux = jnp.asarray(rng.normal(size=(2, 4, 4, 5)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, 5, size=(2, 32, 32)).astype(np.int32))
+    loss = SegCrossEntropy(_opts())
+    out = loss(None, {"segmentation_output": main, "aux_output": aux}, target)
+    up = {
+        "segmentation_output": jax.image.resize(
+            main, (2, 32, 32, 5), method="bilinear"),
+        "aux_output": jax.image.resize(aux, (2, 32, 32, 5), method="bilinear"),
+    }
+    want = loss(None, up, target)
+    assert abs(float(out["total_loss"]) - float(want["total_loss"])) < 2e-5
+
+
 # ----------------------------------------------------------------- multimodal
 def test_contrastive_clip_aligned_vs_shuffled():
     from cvnets_tpu.loss.multi_modal import ContrastiveLossClip

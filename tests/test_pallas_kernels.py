@@ -455,3 +455,73 @@ def test_window_attn_partitions_over_data_axis():
                                    rtol=1e-5, atol=1e-4)
     finally:
         M._INTERPRET = False
+
+
+# ------------------------------------------------------- fused seg resize+CE
+@pytest.mark.parametrize("ls,use_wts", [(0.0, False), (0.1, True)])
+def test_seg_ce_kernel_interpret_mode(ls, use_wts):
+    """Fwd AND bwd Pallas kernels (ops/pallas/seg_ce_kernel.py) under the CPU
+    interpreter vs upsample-then-CE: value and dlogits must match."""
+    from cvnets_tpu.ops.pallas.seg_ce_kernel import pallas_resize_ce
+    from cvnets_tpu.ops.seg_ce import resize_matrix
+
+    rng = np.random.default_rng(11)
+    b, h, w, c = 2, 6, 5, 7
+    hh, ww = 32, 40
+    logits = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    target = rng.integers(0, c, size=(b, hh, ww)).astype(np.int32)
+    target[0, :4, :] = 255
+    target = jnp.asarray(target)
+    wts = (jnp.asarray(rng.uniform(0.5, 2.0, (1, c)).astype(np.float32))
+           if use_wts else jnp.ones((1, c), jnp.float32))
+    ah, aw = resize_matrix(hh, h), resize_matrix(ww, w)
+
+    def naive(lo):
+        up = jax.image.resize(lo, (b, hh, ww, c), method="bilinear")
+        valid = target != 255
+        safe = jnp.where(valid, target, 0)
+        lse = jax.nn.logsumexp(up, axis=-1)
+        picked = jnp.take_along_axis(up, safe[..., None], axis=-1)[..., 0]
+        lp = lse - picked
+        if ls > 0:
+            lp = (1 - ls) * lp + ls * (lse - jnp.mean(up, axis=-1))
+        lp = lp * jnp.take(wts[0], safe) * valid
+        return jnp.sum(lp) / jnp.maximum(jnp.sum(valid), 1)
+
+    def fused(lo):
+        return pallas_resize_ce(255, ls, 8, True, use_wts,
+                                lo, target, ah, aw, wts)
+
+    v_naive, g_naive = jax.value_and_grad(naive)(logits)
+    v_fused, g_fused = jax.value_and_grad(fused)(logits)
+    assert abs(float(v_naive) - float(v_fused)) < 2e-5
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_naive),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_seg_ce_kernel_bf16_model_dtype():
+    """bf16 logits: interp + CE run fp32 in-kernel (bf16 Mosaic matmul
+    variants stall the compiler — seg_ce_kernel._h_interp docstring), and
+    dlogits comes back in the logits dtype; value tracks fp32 to bf16
+    input noise."""
+    from cvnets_tpu.ops.pallas.seg_ce_kernel import pallas_resize_ce
+    from cvnets_tpu.ops.seg_ce import resize_matrix
+
+    rng = np.random.default_rng(12)
+    b, h, w, c = 2, 4, 4, 9
+    hh, ww = 16, 16
+    lo32 = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    target = jnp.asarray(rng.integers(0, c, size=(b, hh, ww)).astype(np.int32))
+    wts = jnp.ones((1, c), jnp.float32)
+    ah, aw = resize_matrix(hh, h), resize_matrix(ww, w)
+
+    def run(lo):
+        return pallas_resize_ce(255, 0.0, 8, True, False,
+                                lo, target, ah, aw, wts)
+
+    v32, g32 = jax.value_and_grad(run)(lo32)
+    v16, g16 = jax.value_and_grad(run)(lo32.astype(jnp.bfloat16))
+    assert g16.dtype == jnp.bfloat16
+    assert abs(float(v32) - float(v16)) < 3e-2
+    np.testing.assert_allclose(np.asarray(g16, dtype=np.float32),
+                               np.asarray(g32), rtol=0.1, atol=3e-3)
