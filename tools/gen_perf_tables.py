@@ -38,6 +38,8 @@ ROUND_NOTES = {
     3: "no regression; MFU now recorded (BW-bound step, MXU is 1.2% of the "
        "timeline, so low MFU is the expected signature, not a deficiency)",
     4: "no regression; estimates learned from history, sections hard-capped",
+    5: "no regression; fused seg-CE kernel landed (DeepLab task 2.4x — "
+       "PROFILE-tasks.md), multi-scale cache measured (PROFILE-multiscale.md)",
 }
 
 # README train-step table: (metric, display label, static analysis note)
